@@ -1,0 +1,226 @@
+"""Typed configuration objects for the msa_tpu framework.
+
+Replaces the reference's scattered config surface (argparse flags in
+train.py:24-41 / sampling.py:21-34, module constants in config.py:5-17) with
+frozen dataclasses that serialize into the run directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+# Modality feature dims (reference: config.py:12-17).
+TEXTDIM = 1024
+MOSEIVISUALDIM = 35
+MOSIVISUALDIM = 47
+FUNNYVISUALDIM = 371
+CMUSPEECHDIM = 74
+FUNNYSPEECHDIM = 81
+
+MODALITY_DIMS = {
+    # dataset -> (visual_dim, speech_dim)
+    "mosi": (MOSIVISUALDIM, CMUSPEECHDIM),
+    "mosei": (MOSEIVISUALDIM, CMUSPEECHDIM),
+    "ur_funny": (FUNNYVISUALDIM, FUNNYSPEECHDIM),
+}
+
+EMOTIONS = ["sentiment", "happy", "sad", "anger", "surprise", "disgust", "fear"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """BERT encoder hyper-parameters (HF-compatible semantics)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    # TPU-specific knobs (no reference equivalent): pad the vocab so the tied
+    # MLM decoder matmul tiles cleanly onto the 128x128 MXU.
+    vocab_pad_multiple: int = 128
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return _round_up(self.vocab_size, self.vocab_pad_multiple)
+
+
+BERT_BASE = BertConfig(
+    hidden_size=768,
+    num_hidden_layers=12,
+    num_attention_heads=12,
+    intermediate_size=3072,
+)
+BERT_LARGE = BertConfig()
+
+BERT_PRESETS = {
+    "bert-base-uncased": BERT_BASE,
+    "bert-large-uncased": BERT_LARGE,
+}
+
+
+def tiny_bert_config(
+    hidden_size: int = 32,
+    num_hidden_layers: int = 2,
+    num_attention_heads: int = 2,
+    intermediate_size: int = 64,
+    vocab_size: int = 128,
+    max_position_embeddings: int = 96,
+) -> BertConfig:
+    """Small config for tests / CPU golden-value comparisons."""
+    return BertConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        num_hidden_layers=num_hidden_layers,
+        num_attention_heads=num_attention_heads,
+        intermediate_size=intermediate_size,
+        max_position_embeddings=max_position_embeddings,
+        vocab_pad_multiple=1,
+    )
+
+
+@dataclass(frozen=True)
+class MMBertConfig:
+    """The multimodal pretraining model.
+
+    Mirrors the reference model definition (MMBertForPretraining.py:304-448,
+    MMBertEmbedding.py:34-72) with fixes documented in SURVEY.md section 7:
+      * cpc_size derives from hidden_size instead of the hardcoded 1024
+        (ref MMBertForPretraining.py:328) unless overridden.
+    """
+
+    bert: BertConfig = field(default_factory=lambda: BERT_LARGE)
+    visual_dim: int = MOSIVISUALDIM
+    speech_dim: int = CMUSPEECHDIM
+    num_labels: int = 1
+    joint_dropout_prob: float = 0.5  # ref MMBertForPretraining.py:26
+    alpha: float = 1.0
+    beta: float = 1.0
+    # reference defines nn.Dropout(0.38) but never applies it in forward
+    # (MMBertForPretraining.py:322); kept as a documented no-op default.
+    fusion_dropout_prob: float = 0.0
+    cpc_size: Optional[int] = None  # None -> hidden_size
+
+    @property
+    def cpc_x_size(self) -> int:
+        return self.cpc_size if self.cpc_size is not None else self.bert.hidden_size
+
+    @property
+    def regression(self) -> bool:
+        # ref MMBertForPretraining.py:431: num_labels in (1, 7) -> MSE path
+        return self.num_labels in (1, 7)
+
+    def with_dataset(self, dataset: str) -> "MMBertConfig":
+        vdim, sdim = MODALITY_DIMS[dataset]
+        return dataclasses.replace(self, visual_dim=vdim, speech_dim=sdim)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "mosi"  # mosi | mosei | ur_funny
+    emotion: str = "sentiment"
+    num_labels: int = 1
+    max_seq_length: int = 40  # ref train.py:38
+    mlm: bool = True
+    mlm_probability: float = 0.15  # ref train.py:37
+    # Probability a joint view keeps its aligned pair (ref MMBertDataset.py:148:
+    # r > 0.5 -> aligned, label 1).
+    aligned_prob: float = 0.5
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-4  # ref train.py:29
+    weight_decay: float = 0.01  # ref train.py:83
+    warmup_proportion: float = 0.1
+    n_epochs: int = 200
+    train_batch_size: int = 32
+    val_batch_size: int = 4
+    test_batch_size: int = 8
+    gradient_accumulation_steps: int = 1
+    max_grad_norm: float = 0.0  # 0 disables clipping (reference never clips)
+    patience: int = 25  # ref trainer.py:279
+    # Deviations from reference bugs, each documented in SURVEY.md section 7:
+    # (d) no MLM masking at eval; (h) model selection on the val split.
+    eval_masking: bool = False
+    eval_random_pairs: bool = False
+    select_on: str = "val"  # 'val' | 'test' ('test' replicates ref trainer.py:268)
+    # TPU execution knobs.
+    compute_dtype: str = "bfloat16"  # bfloat16 | float32
+    use_flash_attention: str = "auto"  # auto | always | never
+    data_parallel: int = -1  # -1 -> all devices
+    model_parallel: int = 1
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model_name: str = "bert-large-uncased"
+    model: MMBertConfig = field(default_factory=MMBertConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return cls(
+            model_name=raw.get("model_name", "bert-large-uncased"),
+            model=_mmbert_from_dict(raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+        )
+
+
+def _mmbert_from_dict(raw: dict) -> MMBertConfig:
+    raw = dict(raw)
+    bert = raw.pop("bert", None)
+    kwargs: dict[str, Any] = dict(raw)
+    if bert is not None:
+        kwargs["bert"] = BertConfig(**bert)
+    return MMBertConfig(**kwargs)
+
+
+def build_experiment(
+    dataset: str = "mosi",
+    model_name: str = "bert-large-uncased",
+    num_labels: int = 1,
+    emotion: str = "sentiment",
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    **train_overrides: Any,
+) -> ExperimentConfig:
+    """Convenience builder mirroring the reference CLI surface (train.py:24-41)."""
+    bert = BERT_PRESETS[model_name]
+    vdim, sdim = MODALITY_DIMS[dataset]
+    model = MMBertConfig(
+        bert=bert,
+        visual_dim=vdim,
+        speech_dim=sdim,
+        num_labels=num_labels,
+        alpha=alpha,
+        beta=beta,
+    )
+    data = DataConfig(dataset=dataset, emotion=emotion, num_labels=num_labels)
+    train = TrainConfig(**train_overrides)
+    return ExperimentConfig(model_name=model_name, model=model, data=data, train=train)

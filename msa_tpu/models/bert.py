@@ -1,0 +1,248 @@
+"""BERT encoder core in functional JAX (params as pytrees).
+
+TPU-native re-implementation of the compute the reference delegates to HF
+``BertEmbeddings`` / ``BertEncoder`` / ``BertPooler`` (ref
+MMBertForPretraining.py:9,18-20,264-279).  Design choices:
+
+  * layer parameters are STACKED on a leading [num_layers] axis and the
+    encoder runs as one ``lax.scan`` -- constant compile time in depth;
+  * LayerNorm/softmax/losses in float32, matmuls in a configurable compute
+    dtype (bfloat16 on TPU -> MXU native);
+  * attention dispatches to a Pallas flash kernel when profitable
+    (ops/attention.py), with a plain-XLA fallback;
+  * the vocab (and the tied MLM decoder matmul) can be padded to a multiple
+    of 128 so the [*, H] @ [H, V] logits matmul tiles the MXU exactly.
+
+Golden-tested against ``transformers.BertModel`` in tests/test_bert_golden.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import BertConfig
+from ..ops.attention import multi_head_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, d_in: int, d_out: int, stddev: float) -> Params:
+    return {
+        "kernel": jax.random.normal(key, (d_in, d_out), jnp.float32) * stddev,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _stacked_dense_init(key, n: int, d_in: int, d_out: int, stddev: float) -> Params:
+    return {
+        "kernel": jax.random.normal(key, (n, d_in, d_out), jnp.float32) * stddev,
+        "bias": jnp.zeros((n, d_out), jnp.float32),
+    }
+
+
+def _ln_init(shape) -> Params:
+    return {"scale": jnp.ones(shape, jnp.float32), "bias": jnp.zeros(shape, jnp.float32)}
+
+
+def init_bert_params(key: jax.Array, cfg: BertConfig) -> Params:
+    keys = jax.random.split(key, 12)
+    n, h, i = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    std = cfg.initializer_range
+    vp = cfg.padded_vocab_size
+    word = jax.random.normal(keys[0], (vp, h), jnp.float32) * std
+    if vp > cfg.vocab_size:
+        word = word.at[cfg.vocab_size :].set(0.0)
+    return {
+        "embeddings": {
+            "word": word,
+            "position": jax.random.normal(keys[1], (cfg.max_position_embeddings, h), jnp.float32) * std,
+            "type": jax.random.normal(keys[2], (cfg.type_vocab_size, h), jnp.float32) * std,
+            "ln": _ln_init((h,)),
+        },
+        "layers": {
+            "q": _stacked_dense_init(keys[3], n, h, h, std),
+            "k": _stacked_dense_init(keys[4], n, h, h, std),
+            "v": _stacked_dense_init(keys[5], n, h, h, std),
+            "o": _stacked_dense_init(keys[6], n, h, h, std),
+            "attn_ln": _ln_init((n, h)),
+            "wi": _stacked_dense_init(keys[7], n, h, i, std),
+            "wo": _stacked_dense_init(keys[8], n, i, h, std),
+            "mlp_ln": _ln_init((n, h)),
+        },
+        "pooler": _dense_init(keys[9], h, h, std),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float) -> jnp.ndarray:
+    """f32 LayerNorm; output cast back to the input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+    """Full-precision matmuls for f32 (golden parity); MXU-native for bf16.
+
+    JAX's DEFAULT precision lets XLA downcast f32 matmul operands, which is
+    a ~1e-3 error -- unacceptable for parity testing.  bf16 inputs already
+    run the MXU natively, so DEFAULT is right there.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype,
+                precision=matmul_precision(x.dtype))
+    return y + p["bias"].astype(x.dtype)
+
+
+def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
+             deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0 or key is None:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def bert_embeddings(
+    params: Params,
+    input_ids: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray],
+    cfg: BertConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    position_offset: int = 0,
+) -> jnp.ndarray:
+    """Word + position + type embeddings -> LN -> dropout.  [B, S, H]."""
+    p = params["embeddings"]
+    seq = input_ids.shape[-1]
+    word = jnp.take(p["word"], input_ids, axis=0).astype(compute_dtype)
+    pos = p["position"][position_offset : position_offset + seq].astype(compute_dtype)
+    if token_type_ids is None:
+        tt = p["type"][0].astype(compute_dtype)
+        x = word + pos[None, :, :] + tt
+    else:
+        tt = jnp.take(p["type"], token_type_ids, axis=0).astype(compute_dtype)
+        x = word + pos[None, :, :] + tt
+    x = layer_norm(x, p["ln"], cfg.layer_norm_eps)
+    return _dropout(rng, x, cfg.hidden_dropout_prob, deterministic)
+
+
+def bert_encoder(
+    params: Params,
+    hidden: jnp.ndarray,
+    attn_bias: jnp.ndarray,
+    cfg: BertConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    use_flash: str = "auto",
+) -> jnp.ndarray:
+    """Run all transformer layers via one lax.scan.
+
+    ``hidden``: [B, S, H]; ``attn_bias``: additive mask [B, 1, 1, S] (0 keep,
+    large-negative drop), matching the reference's extended attention mask
+    (ref MMBertForPretraining.py:147-154).
+    """
+    layers = params["layers"]
+    num_layers = cfg.num_hidden_layers
+    dtype = hidden.dtype
+
+    if rng is None:
+        layer_keys = jnp.zeros((num_layers, 2), dtype=jnp.uint32)
+        have_rng = False
+    else:
+        layer_keys = jax.random.split(rng, num_layers)
+        have_rng = True
+
+    def one_layer(h, xs):
+        lp, lkey = xs
+        if have_rng and not deterministic:
+            k_attn, k_post, k_mlp = jax.random.split(lkey, 3)
+        else:
+            k_attn = k_post = k_mlp = None
+        # --- self attention ---
+        q = dense(h, lp["q"])
+        k = dense(h, lp["k"])
+        v = dense(h, lp["v"])
+        ctx = multi_head_attention(
+            q, k, v, attn_bias,
+            num_heads=cfg.num_attention_heads,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=k_attn,
+            deterministic=deterministic,
+            use_flash=use_flash,
+        )
+        attn_out = dense(ctx, lp["o"])
+        attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
+        h = layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps)
+        # --- mlp ---
+        up = dense(h, lp["wi"])
+        up = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(dtype)
+        down = dense(up, lp["wo"])
+        down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
+        h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)
+        return h, None
+
+    hidden, _ = jax.lax.scan(one_layer, hidden, (layers, layer_keys))
+    return hidden
+
+
+def bert_pooler(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """tanh(dense(first token)) -- ref delegated BertPooler."""
+    first = hidden[:, 0]
+    return jnp.tanh(dense(first, params["pooler"]).astype(jnp.float32)).astype(hidden.dtype)
+
+
+def extended_attention_mask(mask: jnp.ndarray, dtype=jnp.float32,
+                            neg: float = -10000.0) -> jnp.ndarray:
+    """[B, S] 1/0 mask -> additive [B, 1, 1, S] bias (0 keep / ``neg`` drop).
+
+    Matches ref MMBertForPretraining.py:147-154 (-10000.0 fill).
+    """
+    m = mask.astype(jnp.float32)
+    return ((1.0 - m) * neg)[:, None, None, :].astype(dtype)
+
+
+def bert_model(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray],
+    cfg: BertConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_flash: str = "auto",
+):
+    """Full text-only BERT: returns (sequence_output [B,S,H], pooled [B,H])."""
+    if rng is not None:
+        k_emb, k_enc = jax.random.split(rng)
+    else:
+        k_emb = k_enc = None
+    x = bert_embeddings(params, input_ids, token_type_ids, cfg,
+                        deterministic=deterministic, rng=k_emb,
+                        compute_dtype=compute_dtype)
+    bias = extended_attention_mask(attention_mask, jnp.float32)
+    seq = bert_encoder(params, x, bias, cfg, deterministic=deterministic,
+                       rng=k_enc, use_flash=use_flash)
+    pooled = bert_pooler(params, seq)
+    return seq, pooled

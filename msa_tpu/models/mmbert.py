@@ -1,0 +1,328 @@
+"""MMBert: unified multimodal BERT for sentiment analysis, TPU-native.
+
+Re-implements the reference model (MMBertForPretraining.py:304-448,
+MMBertEmbedding.py:7-72) as pure functions over a param pytree.  Semantics
+preserved; the structural TPU win is that the two joint passes (text+visual
+and text+speech, both sequence length 2L) are STACKED into one [2B, 2L]
+encoder call, so a training step runs the encoder twice (text [B, L] and
+joint [2B, 2L]) instead of three times.
+
+Documented deviations from reference bugs (SURVEY.md section 7):
+  (b) joint-pass text-half attention masks are real padding masks (the
+      reference's ``==`` typo made them all-ones, model_utils.py:128,136);
+  (f) MLM labels for the pair half of a joint sequence are -100 (the
+      reference duplicated the text labels there, trainer.py:50,53);
+  (j) the CPC heads' x_size derives from hidden_size (the reference
+      hardcodes 1024, bert-large only, MMBertForPretraining.py:328);
+  (*) the fusion classifier's output dim follows num_labels for
+      classification tasks (the reference's ctor hardcodes num_labels=7
+      before the CLI value is assigned, so its classification head was
+      1-dim and unusable, MMBertForPretraining.py:309-314);
+  (*) ``W_cv``/``W_cs`` (MMBertEmbedding.py:48-49) are defined but never
+      used by the reference; we do not allocate them.
+
+Kept reference behaviours (they are the model definition, not bugs):
+  * joint passes zero out token_type_ids (MMBertForPretraining.py:223);
+  * pair tokens get no position/segment embeddings -- only
+    ReLU(W.feats), then one LayerNorm over the full 2L concatenation
+    (which double-normalizes the text half, MMBertEmbedding.py:68-70);
+  * align head reads token 0 of the JOINT sequence (MMBertForPretraining.py:297);
+  * joint loss = alpha*mlm + ap + label - beta*nce (MMBertForPretraining.py:443).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import MMBertConfig
+from ..ops import losses as L
+from .bert import (
+    _dense_init,
+    _dropout,
+    _ln_init,
+    bert_embeddings,
+    bert_encoder,
+    bert_pooler,
+    dense,
+    extended_attention_mask,
+    init_bert_params,
+    layer_norm,
+    matmul_precision,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_mmbert_params(key: jax.Array, cfg: MMBertConfig) -> Params:
+    kb, kj, kc, kf, kp = jax.random.split(key, 5)
+    h = cfg.bert.hidden_size
+    std = cfg.bert.initializer_range
+    vp = cfg.bert.padded_vocab_size
+    out_dim = 1 if cfg.regression else cfg.num_labels
+
+    jk = jax.random.split(kj, 2)
+    ck = jax.random.split(kc, 3)
+    fk = jax.random.split(kf, 6)
+    pk = jax.random.split(kp, 3)
+
+    decoder_bias = jnp.zeros((vp,), jnp.float32)
+    if vp > cfg.bert.vocab_size:
+        # Padded vocab entries can never win the softmax.
+        decoder_bias = decoder_bias.at[cfg.bert.vocab_size :].set(-1e9)
+
+    return {
+        "bert": init_bert_params(kb, cfg.bert),
+        "joint": {
+            "Wv": _dense_init(jk[0], cfg.visual_dim, h, std),
+            "Ws": _dense_init(jk[1], cfg.speech_dim, h, std),
+            "ln": _ln_init((h,)),
+        },
+        "cls": {
+            "transform_dense": _dense_init(ck[0], h, h, std),
+            "transform_ln": _ln_init((h,)),
+            "decoder_bias": decoder_bias,
+            "align": _dense_init(ck[1], h, 2, std),
+            "seq_relationship": _dense_init(ck[2], h, 2, std),
+        },
+        "fusion": {
+            "attn": _dense_init(fk[0], 2 * h, h, std),
+            "vt": _dense_init(fk[1], h, 1, std),
+            "vv": _dense_init(fk[2], h, 1, std),
+            "vs": _dense_init(fk[3], h, 1, std),
+            "classifier1": _dense_init(fk[4], 3 * h, h, std),
+            "classifier2": _dense_init(fk[5], h, out_dim, std),
+        },
+        "cpc": {
+            "zt": _dense_init(pk[0], h, cfg.cpc_x_size, std),
+            "zv": _dense_init(pk[1], h, cfg.cpc_x_size, std),
+            "za": _dense_init(pk[2], h, cfg.cpc_x_size, std),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pieces
+# ---------------------------------------------------------------------------
+
+def joint_embed(
+    params: Params,
+    text_embeddings: jnp.ndarray,  # [B, L, H] (already LN'd BERT embeddings)
+    pair_features: jnp.ndarray,    # [B, L, D_modality]
+    proj_name: str,                # 'Wv' | 'Ws'
+    cfg: MMBertConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """ReLU-project pair frames, concat on the sequence axis, LN + dropout.
+
+    Ref JointEmbeddings.forward (MMBertEmbedding.py:57-72).  The LayerNorm
+    deliberately covers both halves (text gets double-normalized), matching
+    the reference.  Returns [B, 2L, H].
+    """
+    jp = params["joint"]
+    dtype = text_embeddings.dtype
+    proj = dense(pair_features.astype(dtype), jp[proj_name])
+    proj = jax.nn.relu(proj)
+    x = jnp.concatenate([text_embeddings, proj], axis=1)
+    x = layer_norm(x, jp["ln"], cfg.bert.layer_norm_eps)
+    return _dropout(rng, x, cfg.joint_dropout_prob, deterministic)
+
+
+def mlm_logits(params: Params, sequence_output: jnp.ndarray,
+               cfg: MMBertConfig) -> jnp.ndarray:
+    """Tied-decoder MLM head (delegated BertPreTrainingHeads.predictions).
+
+    transform(dense+gelu+LN) then logits against the (padded) word embedding
+    table.  Returns float32 [.., Vp].
+    """
+    cp = params["cls"]
+    x = dense(sequence_output, cp["transform_dense"])
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(sequence_output.dtype)
+    x = layer_norm(x, cp["transform_ln"], cfg.bert.layer_norm_eps)
+    word = params["bert"]["embeddings"]["word"].astype(x.dtype)
+    logits = jnp.einsum("...h,vh->...v", x, word, preferred_element_type=jnp.float32,
+                        precision=matmul_precision(x.dtype))
+    return logits + cp["decoder_bias"].astype(jnp.float32)
+
+
+def pair_frame_mask(features: jnp.ndarray) -> jnp.ndarray:
+    """Frame-level padding mask for a [B, L, D] feature stream: a frame is
+    real iff any coordinate is nonzero.  (The reference narrows its 3-D
+    feature mask to column 0, MMBertForPretraining.py:74-77 -- same result on
+    zero rows, and robust when a real frame's first coordinate is 0.)
+    """
+    return (jnp.abs(features) > 0).any(axis=-1).astype(jnp.int32)
+
+
+def fusion_head(params: Params, pooled_t, pooled_v, pooled_s, cfg: MMBertConfig):
+    """Gated fusion -> (logits, temp) (ref MMBertForPretraining.py:406-415)."""
+    fp = params["fusion"]
+
+    def gate(pooled, head):
+        a = dense(jnp.concatenate([pooled, pooled], axis=1), fp["attn"])
+        return dense(jax.nn.relu(a), fp[head])
+
+    st = gate(pooled_t, "vt")
+    sv = gate(pooled_v, "vv")
+    ss = gate(pooled_s, "vs")
+    fused = jnp.concatenate([pooled_t * st, pooled_v * sv, pooled_s * ss], axis=1)
+    temp = dense(fused, fp["classifier1"])
+    logits = dense(temp, fp["classifier2"]).astype(jnp.float32)
+    return logits, temp
+
+
+def cpc_nce(params: Params, pooled_t, pooled_v, pooled_s, temp,
+            weights=None) -> jnp.ndarray:
+    """Sum of the three InfoNCE terms (ref MMBertForPretraining.py:422-425)."""
+    pp = params["cpc"]
+    nce_t = L.infonce(pooled_t, dense(temp, pp["zt"]), weights)
+    nce_v = L.infonce(pooled_v, dense(temp, pp["zv"]), weights)
+    nce_a = L.infonce(pooled_s, dense(temp, pp["za"]), weights)
+    return nce_t + nce_v + nce_a
+
+
+# ---------------------------------------------------------------------------
+# Forward + loss
+# ---------------------------------------------------------------------------
+
+def mmbert_forward(
+    params: Params,
+    text_ids: jnp.ndarray,      # [B, L] already MLM-masked text-view ids
+    text_mask: jnp.ndarray,     # [B, L] 1/0
+    tv_ids: jnp.ndarray,        # [B, L] masked text ids for the visual view
+    ts_ids: jnp.ndarray,        # [B, L] masked text ids for the speech view
+    visual: jnp.ndarray,        # [B, L, Dv]
+    speech: jnp.ndarray,        # [B, L, Ds]
+    cfg: MMBertConfig,
+    *,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_flash: str = "auto",
+) -> Dict[str, jnp.ndarray]:
+    """Three-view forward.  Returns every head output needed by the loss."""
+    bert = params["bert"]
+    bcfg = cfg.bert
+    b = text_ids.shape[0]
+
+    if rng is not None:
+        keys = list(jax.random.split(rng, 7))
+    else:
+        keys = [None] * 7
+
+    # ---- pass 1: text-only [B, L] ----
+    emb_t = bert_embeddings(bert, text_ids, token_type_ids, bcfg,
+                            deterministic=deterministic, rng=keys[0],
+                            compute_dtype=compute_dtype)
+    bias_t = extended_attention_mask(text_mask)
+    seq_t = bert_encoder(bert, emb_t, bias_t, bcfg,
+                         deterministic=deterministic, rng=keys[1],
+                         use_flash=use_flash)
+    pooled_t = bert_pooler(bert, seq_t)
+
+    # ---- pass 2: both joint views stacked into [2B, 2L] ----
+    # token_type_ids forced to zero in joint passes (ref line 223).
+    emb_tv = bert_embeddings(bert, tv_ids, None, bcfg,
+                             deterministic=deterministic, rng=keys[2],
+                             compute_dtype=compute_dtype)
+    emb_ts = bert_embeddings(bert, ts_ids, None, bcfg,
+                             deterministic=deterministic, rng=keys[3],
+                             compute_dtype=compute_dtype)
+    joint_v = joint_embed(params, emb_tv, visual, "Wv", cfg,
+                          deterministic=deterministic, rng=keys[4])
+    joint_s = joint_embed(params, emb_ts, speech, "Ws", cfg,
+                          deterministic=deterministic, rng=keys[5])
+    joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
+
+    mask_v = jnp.concatenate([text_mask, pair_frame_mask(visual)], axis=1)
+    mask_s = jnp.concatenate([text_mask, pair_frame_mask(speech)], axis=1)
+    bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
+
+    seq_j = bert_encoder(bert, joint_x, bias_j, bcfg,
+                         deterministic=deterministic, rng=keys[6],
+                         use_flash=use_flash)
+    pooled_j = bert_pooler(bert, seq_j)
+    pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
+
+    # ---- heads ----
+    scores_t = mlm_logits(params, seq_t, cfg)        # [B, L, Vp] f32
+    scores_j = mlm_logits(params, seq_j, cfg)        # [2B, 2L, Vp] f32
+    align = dense(seq_j[:, 0], params["cls"]["align"]).astype(jnp.float32)
+    nsp_t = dense(pooled_t, params["cls"]["seq_relationship"]).astype(jnp.float32)
+    logits, temp = fusion_head(params, pooled_t, pooled_v, pooled_s, cfg)
+
+    return {
+        "mlm_text": scores_t,
+        "mlm_joint": scores_j,
+        "align_visual": align[:b],
+        "align_speech": align[b:],
+        "nsp_text": nsp_t,
+        "pooled_text": pooled_t,
+        "pooled_visual": pooled_v,
+        "pooled_speech": pooled_s,
+        "temp": temp,
+        "logits": logits,
+    }
+
+
+def mmbert_loss(
+    params: Params,
+    outputs: Dict[str, jnp.ndarray],
+    mlm_labels_text: jnp.ndarray,    # [B, L] (-100 = ignore)
+    mlm_labels_tv: jnp.ndarray,      # [B, L] labels for the text half of t+v
+    mlm_labels_ts: jnp.ndarray,      # [B, L]
+    ap_visual: jnp.ndarray,          # [B] int (1 = aligned)
+    ap_speech: jnp.ndarray,          # [B]
+    sentiment: jnp.ndarray,          # [B] float (regression) or int (CE)
+    cfg: MMBertConfig,
+    weights: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Assemble the joint loss (ref MMBertForPretraining.py:427-443)."""
+    b, l = mlm_labels_text.shape
+    ignore = jnp.full((b, l), L.IGNORE_INDEX, mlm_labels_text.dtype)
+    # Deviation (f): pair half carries no language, so no MLM supervision.
+    labels_v = jnp.concatenate([mlm_labels_tv, ignore], axis=1)
+    labels_s = jnp.concatenate([mlm_labels_ts, ignore], axis=1)
+
+    text_mlm = L.cross_entropy(outputs["mlm_text"], mlm_labels_text, weights)
+    visual_mlm = L.cross_entropy(outputs["mlm_joint"][:b], labels_v, weights)
+    speech_mlm = L.cross_entropy(outputs["mlm_joint"][b:], labels_s, weights)
+    mlm = (text_mlm + visual_mlm + speech_mlm) / 3.0
+
+    visual_ap = L.cross_entropy(outputs["align_visual"], ap_visual, weights)
+    speech_ap = L.cross_entropy(outputs["align_speech"], ap_speech, weights)
+    ap = (visual_ap + speech_ap) / 2.0
+
+    logits = outputs["logits"]
+    if cfg.regression:
+        preds = jnp.tanh(logits) if cfg.num_labels == 1 else logits
+        label_loss = L.mse(preds.reshape(-1), sentiment, weights)
+        pred_out = preds
+    else:
+        label_loss = L.cross_entropy(logits, sentiment, weights)
+        pred_out = jnp.argmax(jax.nn.sigmoid(logits), axis=1)
+
+    nce = cpc_nce(params, outputs["pooled_text"], outputs["pooled_visual"],
+                  outputs["pooled_speech"], outputs["temp"], weights)
+
+    joint = cfg.alpha * mlm + ap + label_loss - cfg.beta * nce
+    return {
+        "loss": joint,
+        "mlm_loss": mlm,
+        "text_mlm_loss": text_mlm,
+        "visual_mlm_loss": visual_mlm,
+        "speech_mlm_loss": speech_mlm,
+        "ap_loss": ap,
+        "label_loss": label_loss,
+        "nce": nce,
+        "predictions": pred_out,
+    }

@@ -1,0 +1,217 @@
+"""Multi-head attention: XLA reference path + Pallas TPU flash kernel.
+
+The reference delegates all attention math to HF ``BertEncoder`` CUDA kernels
+(ref MMBertForPretraining.py:270-276).  Here the hot path is ours:
+
+  * ``_xla_attention``: einsum attention; XLA fuses mask-add + softmax.  With
+    BERT-style attention-probs dropout active this is the training path.
+  * ``_flash_attention``: blockwise online-softmax Pallas kernel that never
+    materializes the [S, S] score matrix.  Bias is a key-padding additive mask
+    [B, S] (the text||pair concat layout of ref MMBertForPretraining.py:246-250
+    reduces to exactly this).  Backward pass recomputes attention with XLA
+    (cheap at MSA sequence lengths; a Pallas backward is a planned upgrade).
+
+Dispatch:  ``use_flash`` in {"auto", "always", "never"}.  "auto" picks the
+kernel on TPU when attention dropout is inactive and the sequence is long
+enough for blockwise execution to beat one fused XLA softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_FLASH_MIN_SEQ = 256  # below this, one fused XLA softmax wins at BERT sizes
+
+
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at import time
+        return "cpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+def _xla_attention(
+    q: jnp.ndarray,  # [B, S, N, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,  # [B, 1, 1, S] additive
+    dropout_rate: float,
+    dropout_rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jnp.ndarray:
+    dtype = q.dtype
+    depth = q.shape[-1]
+    scale = 1.0 / math.sqrt(depth)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32,
+                        precision=prec)
+    scores = scores * scale + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs.astype(dtype), v,
+                     preferred_element_type=dtype, precision=prec)
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int, scale: float):
+    """One (batch, head, q-block) program: online softmax over key blocks.
+
+    Block shapes: q_ref [1,1,BQ,D]; k_ref/v_ref [1,1,S,D]; bias_ref [1,S];
+    o_ref [1,1,BQ,D].
+    """
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    s_total = k_ref.shape[2]
+    num_kb = s_total // kv_block
+
+    def body(i, carry):
+        acc, m, l = carry
+        start = i * kv_block
+        kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        b = bias_ref[0, pl.ds(start, kv_block)].astype(jnp.float32)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) + b[None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention(q, k, v, key_bias, q_block=128, kv_block=128):
+    return _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block)
+
+
+def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block):
+    interpret = _platform() != "tpu"
+    b, n, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    sq = _round_up(s, q_block)
+    sk = _round_up(s, kv_block)
+
+    def pad_seq(x, target):
+        if x.shape[2] == target:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
+
+    qp = pad_seq(q, sq)
+    kp = pad_seq(k, sk)
+    vp = pad_seq(v, sk)
+    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
+                   constant_values=NEG_INF)
+
+    grid = (b, n, sq // q_block)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kv_block=kv_block, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, sk), lambda i, j, r: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+    return out[:, :, :s, :]
+
+
+def _flash_fwd(q, k, v, key_bias, q_block, kv_block):
+    out = _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block)
+    return out, (q, k, v, key_bias)
+
+
+def _flash_bwd(q_block, kv_block, residuals, g):
+    # Recompute-with-XLA backward: exact gradients, trivially correct.
+    q, k, v, key_bias = residuals
+
+    def ref_attn(q, k, v, key_bias):
+        scale = 1.0 / math.sqrt(q.shape[-1])
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = scores + key_bias.astype(jnp.float32)[:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bnqk,bnkd->bnqd", probs.astype(q.dtype), v,
+                          preferred_element_type=q.dtype)
+
+    _, vjp = jax.vjp(ref_attn, q, k, v, key_bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def multi_head_attention(
+    q: jnp.ndarray,  # [B, S, H]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,  # [B, 1, 1, S] additive key mask
+    *,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_flash: str = "auto",
+) -> jnp.ndarray:
+    """Split heads, attend, merge heads.  Returns [B, S, H]."""
+    b, s, h = q.shape
+    d = h // num_heads
+    qh = q.reshape(b, s, num_heads, d)
+    kh = k.reshape(b, s, num_heads, d)
+    vh = v.reshape(b, s, num_heads, d)
+
+    dropout_active = (not deterministic) and dropout_rate > 0.0
+    if use_flash == "always":
+        flash = True
+    elif use_flash == "never":
+        flash = False
+    else:
+        flash = (not dropout_active) and _platform() == "tpu" and s >= _FLASH_MIN_SEQ
+
+    if flash and not dropout_active:
+        key_bias = bias[:, 0, 0, :]  # [B, S]
+        ctx = _flash_attention(
+            qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
+            vh.transpose(0, 2, 1, 3), key_bias,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3)
+    else:
+        ctx = _xla_attention(qh, kh, vh, bias, dropout_rate, dropout_rng,
+                             deterministic)
+    return ctx.reshape(b, s, h)

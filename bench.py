@@ -1,0 +1,107 @@
+"""Benchmark: MMBert (bert-large, tri-modal MOSI) training throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md section 6); the baseline is
+the bug-fixed reference semantics timed in torch on this machine
+(benchmarks/torch_baseline.py writes benchmarks/torch_baseline.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="bert-large-uncased")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_seq_length", type=int, default=40)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--flash", default="auto")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from msa_tpu.configs import build_experiment
+    from msa_tpu.data.dataset import MultimodalDataset
+    from msa_tpu.data.featurize import synthetic_split
+    from msa_tpu.training.trainer import Trainer
+
+    exp = build_experiment(
+        dataset="mosi", model_name=args.model, num_labels=1,
+        train_batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype,
+        use_flash_attention=args.flash,
+        warmup_proportion=0.01,
+    )
+    import dataclasses
+    exp = dataclasses.replace(
+        exp, data=dataclasses.replace(exp.data, max_seq_length=args.max_seq_length))
+
+    trainer = Trainer(exp)
+    vdim, sdim = exp.model.visual_dim, exp.model.speech_dim
+    split = synthetic_split(args.batch_size * 4, args.max_seq_length, vdim,
+                            sdim, vocab_size=exp.model.bert.vocab_size, seed=0)
+    ds = MultimodalDataset(split, seed=0)
+    batches = list(ds.epoch_batches(0, args.batch_size, drop_last=True))
+
+    state = trainer.init_state(jax.random.key(0), total_steps=10_000)
+    step = trainer._build_train_step()
+    rng = jax.random.key(1)
+
+    sharded = [trainer._shard_batch(b) for b in batches]
+    # NOTE: device_get (not block_until_ready) is the sync point -- on the
+    # axon remote platform block_until_ready returns before execution
+    # completes, which silently breaks timing.
+    for i in range(args.warmup):
+        state, metrics = step(state, sharded[i % len(sharded)], rng)
+        float(jax.device_get(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, sharded[i % len(sharded)], rng)
+    float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    n_chips = trainer.mesh.devices.size
+    samples_per_sec = args.steps * args.batch_size / dt
+    per_chip = samples_per_sec / n_chips
+    mfu = trainer.mfu(samples_per_sec)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "torch_baseline.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("samples_per_sec"):
+            vs_baseline = per_chip / base["samples_per_sec"]
+
+    print(json.dumps({
+        "metric": "mmbert_large_trimodal_train_samples_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "extra": {
+            "batch_size": args.batch_size,
+            "seq_length": args.max_seq_length,
+            "chips": n_chips,
+            "step_ms": round(1000 * dt / args.steps, 2),
+            "mfu": round(mfu, 4),
+            "loss": float(jax.device_get(metrics["loss"])),
+            "compute_dtype": args.compute_dtype,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

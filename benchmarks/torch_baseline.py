@@ -1,0 +1,145 @@
+"""Measure the PyTorch baseline: reference MMBert semantics, torch CPU.
+
+Builds the reference model shape (bert-large BertForPreTraining + joint
+embeddings + fusion/CPC heads) from a local config -- no downloads -- and
+times full train steps (3 encoder passes, loss, backward, AdamW step) at the
+reference's batch size.  This machine has no CUDA torch, so the baseline is
+CPU; BASELINE.md's north star (>=5x samples/sec/chip) is measured against
+this number.
+
+Writes benchmarks/torch_baseline.json consumed by bench.py.
+
+NOTE: this is a re-implementation of the reference's compute graph for
+timing purposes (we do not import reference code); see SURVEY.md section 3.2
+for the per-pass structure being replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="bert-large-uncased")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_seq_length", type=int, default=40)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--threads", type=int, default=0)
+    args = p.parse_args()
+
+    import torch
+    import transformers
+
+    if args.threads:
+        torch.set_num_threads(args.threads)
+
+    hidden = 1024 if "large" in args.model else 768
+    cfg = transformers.BertConfig(
+        vocab_size=30522,
+        hidden_size=hidden,
+        num_hidden_layers=24 if "large" in args.model else 12,
+        num_attention_heads=16 if "large" in args.model else 12,
+        intermediate_size=4096 if "large" in args.model else 3072,
+        attn_implementation="eager",
+    )
+    model = transformers.BertForPreTraining(cfg)
+    vdim, sdim = 47, 74  # MOSI dims
+
+    wv = torch.nn.Linear(vdim, hidden)
+    ws = torch.nn.Linear(sdim, hidden)
+    ln = torch.nn.LayerNorm(hidden)
+    drop = torch.nn.Dropout(0.5)
+    align = torch.nn.Linear(hidden, 2)
+    attn = torch.nn.Linear(2 * hidden, hidden)
+    gates = [torch.nn.Linear(hidden, 1) for _ in range(3)]
+    c1 = torch.nn.Linear(3 * hidden, hidden)
+    c2 = torch.nn.Linear(hidden, 1)
+    cpc = [torch.nn.Linear(hidden, hidden) for _ in range(3)]
+
+    modules = [model, wv, ws, ln, align, attn, c1, c2] + gates + cpc
+    params = [q for m in modules for q in m.parameters()]
+    opt = torch.optim.AdamW(params, lr=5e-4, weight_decay=0.01)
+
+    b, l = args.batch_size, args.max_seq_length
+    ids = torch.randint(999, 30522, (b, l))
+    mask = torch.ones(b, l)
+    visual = torch.randn(b, l, vdim)
+    speech = torch.randn(b, l, sdim)
+    labels = torch.randint(999, 30522, (b, l))
+    lab2 = torch.cat([labels, torch.full((b, l), -100)], dim=1)
+    ap = torch.randint(0, 2, (b,))
+    sentiment = torch.randn(b)
+    ce = torch.nn.CrossEntropyLoss()
+    mse = torch.nn.MSELoss()
+
+    def joint_pass(feats, proj):
+        emb = model.bert.embeddings(ids)
+        pair = torch.relu(proj(feats))
+        x = drop(ln(torch.cat([emb, pair], dim=1)))
+        m2 = torch.cat([mask, mask], dim=1)
+        ext = (1.0 - m2)[:, None, None, :] * -10000.0
+        enc = model.bert.encoder(x, attention_mask=ext).last_hidden_state
+        pooled = model.bert.pooler(enc)
+        scores = model.cls.predictions(enc)
+        a = align(enc[:, 0])
+        return scores, a, pooled
+
+    def step():
+        opt.zero_grad()
+        out = model(input_ids=ids, attention_mask=mask)
+        pooled_t = model.bert.pooler(
+            model.bert(input_ids=ids, attention_mask=mask).last_hidden_state)
+        mlm_t = ce(out.prediction_logits.view(-1, 30522), labels.view(-1))
+        sv, av, pv = joint_pass(visual, wv)
+        ss_, as_, ps = joint_pass(speech, ws)
+        mlm_v = ce(sv.view(-1, 30522), lab2.view(-1))
+        mlm_s = ce(ss_.view(-1, 30522), lab2.view(-1))
+        ap_l = (ce(av, ap) + ce(as_, ap)) / 2
+        gate = lambda pool, g: g(torch.relu(attn(torch.cat([pool, pool], 1))))
+        fused = torch.cat([pooled_t * gate(pooled_t, gates[0]),
+                           pv * gate(pv, gates[1]),
+                           ps * gate(ps, gates[2])], dim=1)
+        temp = c1(fused)
+        logits = torch.tanh(c2(temp))
+        label_loss = mse(logits.view(-1), sentiment)
+        nce = 0.0
+        for pool, head in ((pooled_t, cpc[0]), (pv, cpc[1]), (ps, cpc[2])):
+            xp = head(temp)
+            xp = xp / xp.norm(dim=1, keepdim=True)
+            xn = pool / pool.norm(dim=1, keepdim=True)
+            pos = (xn * xp).sum(-1)
+            neg = torch.logsumexp(xn @ xp.t(), dim=-1)
+            nce = nce + (-(pos - neg).mean())
+        loss = (mlm_t + mlm_v + mlm_s) / 3 + ap_l + label_loss - nce
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        step()
+    dt = time.perf_counter() - t0
+    sps = args.steps * b / dt
+    out = {
+        "samples_per_sec": round(sps, 4),
+        "step_ms": round(1000 * dt / args.steps, 1),
+        "batch_size": b,
+        "seq_length": l,
+        "model": args.model,
+        "device": "cpu",
+        "torch_threads": torch.get_num_threads(),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "torch_baseline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

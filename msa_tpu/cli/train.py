@@ -1,0 +1,170 @@
+"""Training CLI -- preserves the reference's flag surface (train.py:24-41)
+plus TPU-native knobs.
+
+    python -m msa_tpu.cli.train --dataset mosi --num_labels 7 \
+        --alpha 0.4 --beta 0.7 --vocab vocab.txt --data_pkl cmu_mosi.pkl
+
+Without ``--data_pkl`` a synthetic dataset of ``--synthetic N`` examples is
+generated (smoke tests / benchmarking without the CMU SDK downloads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..configs import MODALITY_DIMS, build_experiment
+from ..data.dataset import MultimodalDataset
+from ..data.featurize import featurize, synthetic_split
+from ..data.wordpiece import Tokenizer
+from ..ops import masking
+from ..training.trainer import Trainer
+from ..utils.logging import get_logger, make_date_dir
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flag surface (train.py:24-41)
+    p.add_argument("--dataset", type=str, choices=["mosi", "mosei", "ur_funny"],
+                   default="mosei")
+    p.add_argument("--emotion", type=str, default="sentiment")
+    p.add_argument("--num_labels", type=int, default=1)
+    p.add_argument("--model", type=str,
+                   choices=["bert-base-uncased", "bert-large-uncased"],
+                   default="bert-large-uncased")
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--n_epochs", type=int, default=200)
+    p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--val_batch_size", type=int, default=4)
+    p.add_argument("--test_batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_step", type=int, default=1)
+    # --mlm was type=bool in the reference (always truthy); make it sane.
+    p.add_argument("--mlm", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--mlm_probability", type=float, default=0.15)
+    p.add_argument("--max_seq_length", type=int, default=40)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=1.0)
+    # msa_tpu additions
+    p.add_argument("--data_pkl", type=str, default=None,
+                   help="pickle from preprocessing (cmu_<dataset>.pkl)")
+    p.add_argument("--vocab", type=str, default=None,
+                   help="BERT wordpiece vocab.txt (required with --data_pkl)")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch state_dict (.pt/.bin) of bert-*-uncased to load")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic examples instead of real data")
+    p.add_argument("--checkpoint_root", type=str, default="./model_save")
+    p.add_argument("--numpy_root", type=str, default="./numpy_save")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--dp", type=int, default=-1, help="data-parallel size")
+    p.add_argument("--mp", type=int, default=1, help="model-parallel size")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--use_flash_attention", type=str, default="auto",
+                   choices=["auto", "always", "never"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); default: auto")
+    return p
+
+
+def load_splits(args) -> Tuple[MultimodalDataset, MultimodalDataset,
+                               MultimodalDataset, Optional[Tokenizer]]:
+    vdim, sdim = MODALITY_DIMS[args.dataset]
+    if args.data_pkl:
+        if not args.vocab:
+            sys.exit("--vocab is required with --data_pkl")
+        tokenizer = Tokenizer.from_file(args.vocab)
+        with open(args.data_pkl, "rb") as f:
+            data = pickle.load(f)
+        splits = []
+        for name in ("train", "val", "test"):
+            fs = featurize(data[name], tokenizer, args.max_seq_length, vdim,
+                           sdim, args.dataset, args.emotion, args.num_labels)
+            splits.append(MultimodalDataset(fs, seed=args.seed))
+        return splits[0], splits[1], splits[2], tokenizer
+    n = args.synthetic or 256
+    mk = lambda n_, s: MultimodalDataset(
+        synthetic_split(n_, args.max_seq_length, vdim, sdim,
+                        num_labels=args.num_labels, seed=s), seed=s)
+    return mk(n, 0), mk(max(n // 8, 8), 1), mk(max(n // 8, 8), 2), None
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    logger, _ = get_logger("./logs")
+    logger.info("Alpha: %s Beta: %s", args.alpha, args.beta)
+
+    train_ds, val_ds, test_ds, tokenizer = load_splits(args)
+    logger.info("Split sizes: train %d val %d test %d",
+                len(train_ds), len(val_ds), len(test_ds))
+
+    exp = build_experiment(
+        dataset=args.dataset, model_name=args.model,
+        num_labels=args.num_labels, emotion=args.emotion,
+        alpha=args.alpha, beta=args.beta,
+        learning_rate=args.learning_rate,
+        warmup_proportion=args.warmup_proportion,
+        n_epochs=args.n_epochs,
+        train_batch_size=args.train_batch_size,
+        val_batch_size=args.val_batch_size,
+        test_batch_size=args.test_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_step,
+        data_parallel=args.dp, model_parallel=args.mp,
+        compute_dtype=args.compute_dtype,
+        use_flash_attention=args.use_flash_attention,
+        seed=args.seed,
+    )
+    import dataclasses
+    exp = dataclasses.replace(
+        exp, data=dataclasses.replace(
+            exp.data, dataset=args.dataset, mlm=args.mlm,
+            mlm_probability=args.mlm_probability,
+            max_seq_length=args.max_seq_length, num_labels=args.num_labels))
+
+    mask_kwargs = {}
+    if tokenizer is not None:
+        mask_kwargs = dict(mask_token_id=tokenizer.mask_token_id,
+                           special_ids=tuple(tokenizer.special_token_ids()))
+    trainer = Trainer(exp, **mask_kwargs)
+    logger.info("Mesh: %s", dict(trainer.mesh.shape))
+
+    steps_per_epoch = train_ds.num_batches(args.train_batch_size)
+    total_steps = steps_per_epoch * args.n_epochs
+
+    pretrained = None
+    if args.pretrained:
+        from ..models.weights import load_torch_checkpoint
+        logger.info("Loading pretrained torch weights from %s", args.pretrained)
+        pretrained = load_torch_checkpoint(args.pretrained)
+
+    state = trainer.init_state(jax.random.key(args.seed), total_steps, pretrained)
+    if args.resume:
+        from ..training.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(args.resume, state)
+        logger.info("Resumed from %s at step %s", args.resume, meta.get("step"))
+
+    ckpt_dir = make_date_dir(args.checkpoint_root)
+    logger.info("Model save path: %s", ckpt_dir)
+    state, result = trainer.fit(state, train_ds, val_ds, test_ds, logger,
+                                checkpoint_dir=ckpt_dir)
+
+    if result.best_preds is not None:
+        np_dir = make_date_dir(args.numpy_root)
+        np.save(os.path.join(np_dir, "predict.npy"), result.best_preds)
+        np.save(os.path.join(np_dir, "target.npy"), result.best_labels)
+        logger.info("Saved predictions to %s", np_dir)
+    return result
+
+
+if __name__ == "__main__":
+    main()

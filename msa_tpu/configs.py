@@ -166,6 +166,7 @@ class TrainConfig:
     # TPU execution knobs.
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
     use_flash_attention: str = "auto"  # auto | always | never
+    remat: bool = True  # jax.checkpoint encoder layers + fused MLM CE
     data_parallel: int = -1  # -1 -> all devices
     model_parallel: int = 1
     seed: int = 42

@@ -154,12 +154,17 @@ def bert_encoder(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     use_flash: str = "auto",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Run all transformer layers via one lax.scan.
 
     ``hidden``: [B, S, H]; ``attn_bias``: additive mask [B, 1, 1, S] (0 keep,
     large-negative drop), matching the reference's extended attention mask
     (ref MMBertForPretraining.py:147-154).
+
+    ``remat=True`` wraps each layer in jax.checkpoint: backward recomputes
+    layer activations instead of storing them -- the standard HBM/FLOPs
+    trade on TPU (keeps big-batch bert-large training inside 16G HBM).
     """
     layers = params["layers"]
     num_layers = cfg.num_hidden_layers
@@ -201,6 +206,8 @@ def bert_encoder(
         h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)
         return h, None
 
+    if remat:
+        one_layer = jax.checkpoint(one_layer)
     hidden, _ = jax.lax.scan(one_layer, hidden, (layers, layer_keys))
     return hidden
 

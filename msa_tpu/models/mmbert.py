@@ -208,8 +208,16 @@ def mmbert_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     use_flash: str = "auto",
+    remat: bool = False,
+    mlm_scores: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """Three-view forward.  Returns every head output needed by the loss."""
+    """Three-view forward.  Returns every head output needed by the loss.
+
+    ``mlm_scores=False`` omits the materialized [.., vocab] MLM logit
+    tensors ("mlm_text"/"mlm_joint"); the loss then computes the MLM CE in
+    a rematerialized fused pass from the returned sequence outputs --
+    essential for HBM at bert-large scale.
+    """
     bert = params["bert"]
     bcfg = cfg.bert
     b = text_ids.shape[0]
@@ -226,7 +234,7 @@ def mmbert_forward(
     bias_t = extended_attention_mask(text_mask)
     seq_t = bert_encoder(bert, emb_t, bias_t, bcfg,
                          deterministic=deterministic, rng=keys[1],
-                         use_flash=use_flash)
+                         use_flash=use_flash, remat=remat)
     pooled_t = bert_pooler(bert, seq_t)
 
     # ---- pass 2: both joint views stacked into [2B, 2L] ----
@@ -249,20 +257,18 @@ def mmbert_forward(
 
     seq_j = bert_encoder(bert, joint_x, bias_j, bcfg,
                          deterministic=deterministic, rng=keys[6],
-                         use_flash=use_flash)
+                         use_flash=use_flash, remat=remat)
     pooled_j = bert_pooler(bert, seq_j)
     pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
 
     # ---- heads ----
-    scores_t = mlm_logits(params, seq_t, cfg)        # [B, L, Vp] f32
-    scores_j = mlm_logits(params, seq_j, cfg)        # [2B, 2L, Vp] f32
     align = dense(seq_j[:, 0], params["cls"]["align"]).astype(jnp.float32)
     nsp_t = dense(pooled_t, params["cls"]["seq_relationship"]).astype(jnp.float32)
     logits, temp = fusion_head(params, pooled_t, pooled_v, pooled_s, cfg)
 
-    return {
-        "mlm_text": scores_t,
-        "mlm_joint": scores_j,
+    out = {
+        "seq_text": seq_t,
+        "seq_joint": seq_j,
         "align_visual": align[:b],
         "align_speech": align[b:],
         "nsp_text": nsp_t,
@@ -272,6 +278,55 @@ def mmbert_forward(
         "temp": temp,
         "logits": logits,
     }
+    if mlm_scores:
+        out["mlm_text"] = mlm_logits(params, seq_t, cfg)   # [B, L, Vp] f32
+        out["mlm_joint"] = mlm_logits(params, seq_j, cfg)  # [2B, 2L, Vp] f32
+    return out
+
+
+def _mlm_ce(params: Params, seq: jnp.ndarray, labels: jnp.ndarray,
+            weights: Optional[jnp.ndarray], cfg: MMBertConfig) -> jnp.ndarray:
+    return L.cross_entropy(mlm_logits(params, seq, cfg), labels, weights)
+
+
+# Rematerialized MLM CE: the [tokens, vocab] logits exist only transiently in
+# forward and are recomputed in backward instead of living in HBM.
+_mlm_ce_remat = jax.checkpoint(_mlm_ce, static_argnums=(4,))
+
+
+def gathered_mlm_ce(
+    params: Params,
+    seq: jnp.ndarray,        # [B, S, H]
+    labels: jnp.ndarray,     # [B, S] (-100 = ignore)
+    weights: Optional[jnp.ndarray],  # [B] or None
+    cfg: MMBertConfig,
+    cap: int,
+) -> jnp.ndarray:
+    """MLM CE computed only at masked positions.
+
+    With mlm_probability=0.15 only ~15% of positions carry labels, yet the
+    tied-decoder logits matmul is ~2/3 of the step's FLOPs when computed
+    densely.  Gather up to ``cap`` masked positions (a static shape; cap is
+    sized ~2x the expected count so overflow probability is negligible) and
+    run the [cap, H] @ [H, V] matmul + CE there.  Bit-identical to the dense
+    loss whenever the true masked count <= cap; positions beyond cap are
+    dropped (loss renormalizes over the gathered set).
+    """
+    b, s, h = seq.shape
+    flat_seq = seq.reshape(b * s, h)
+    flat_lab = labels.reshape(b * s)
+    is_masked = (flat_lab != L.IGNORE_INDEX).astype(jnp.float32)
+    cap = min(cap, b * s)
+    _, idx = jax.lax.top_k(is_masked, cap)
+    sel_seq = jnp.take(flat_seq, idx, axis=0)
+    picked = jnp.take(is_masked, idx) > 0
+    sel_lab = jnp.where(picked, jnp.take(flat_lab, idx), L.IGNORE_INDEX)
+    sel_w = None
+    if weights is not None:
+        flat_w = jnp.broadcast_to(weights[:, None], (b, s)).reshape(b * s)
+        sel_w = jnp.take(flat_w, idx)
+    logits = mlm_logits(params, sel_seq, cfg)
+    return L.cross_entropy(logits, sel_lab, sel_w)
 
 
 def mmbert_loss(
@@ -293,9 +348,18 @@ def mmbert_loss(
     labels_v = jnp.concatenate([mlm_labels_tv, ignore], axis=1)
     labels_s = jnp.concatenate([mlm_labels_ts, ignore], axis=1)
 
-    text_mlm = L.cross_entropy(outputs["mlm_text"], mlm_labels_text, weights)
-    visual_mlm = L.cross_entropy(outputs["mlm_joint"][:b], labels_v, weights)
-    speech_mlm = L.cross_entropy(outputs["mlm_joint"][b:], labels_s, weights)
+    if "mlm_text" in outputs:
+        text_mlm = L.cross_entropy(outputs["mlm_text"], mlm_labels_text, weights)
+        visual_mlm = L.cross_entropy(outputs["mlm_joint"][:b], labels_v, weights)
+        speech_mlm = L.cross_entropy(outputs["mlm_joint"][b:], labels_s, weights)
+    else:
+        seq_j = outputs["seq_joint"]
+        # cap ~ 2x expected masked count (0.15 * positions) + headroom.
+        cap = max(int(0.35 * b * l) + 16, 32)
+        text_mlm = gathered_mlm_ce(params, outputs["seq_text"], mlm_labels_text,
+                                   weights, cfg, cap)
+        visual_mlm = gathered_mlm_ce(params, seq_j[:b], labels_v, weights, cfg, cap)
+        speech_mlm = gathered_mlm_ce(params, seq_j[b:], labels_s, weights, cfg, cap)
     mlm = (text_mlm + visual_mlm + speech_mlm) / 3.0
 
     visual_ap = L.cross_entropy(outputs["align_visual"], ap_visual, weights)

@@ -1,0 +1,50 @@
+"""Device mesh construction for data x model parallelism.
+
+The reference has no distributed code at all (single pinned CUDA device,
+ref train.py:22, config.py:5).  Here multi-chip is first-class: a 2-D
+``jax.sharding.Mesh`` with a ``data`` axis (batch sharding, gradient psum
+over ICI inserted by GSPMD) and a ``model`` axis (tensor parallelism over
+attention heads / FFN / vocab).  DCN scale-out later attaches as an outer
+axis on ``data``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  ``data_parallel=-1`` -> all remaining."""
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    if model_parallel <= 0:
+        model_parallel = 1
+    if data_parallel == -1:
+        if n % model_parallel:
+            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        data_parallel = n // model_parallel
+    want = data_parallel * model_parallel
+    if want > n:
+        raise ValueError(f"requested {want} devices, have {n}")
+    grid = np.asarray(devs[:want]).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

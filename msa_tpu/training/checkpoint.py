@@ -1,0 +1,68 @@
+"""Checkpoint / resume: full train state, not just weights.
+
+The reference saves only ``model.state_dict()`` on test-acc improvement and
+cannot resume mid-run (no optimizer/scheduler/step state -- SURVEY.md
+section 5.4).  Here a checkpoint carries params + optimizer state + step +
+epoch + data-order seed + the experiment config, so training resumes
+bit-exactly.  Serialization is flax msgpack (host-gathered); works for both
+single- and multi-chip states.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..configs import ExperimentConfig
+from .train_state import TrainState
+
+STATE_FILE = "state.msgpack"
+META_FILE = "meta.json"
+CONFIG_FILE = "config.json"
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    config: Optional[ExperimentConfig] = None,
+    epoch: int = 0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    os.makedirs(directory, exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(os.path.join(directory, STATE_FILE), "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    meta = {"epoch": int(epoch), "step": int(np.asarray(host_state.step))}
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(directory, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    if config is not None:
+        with open(os.path.join(directory, CONFIG_FILE), "w") as f:
+            f.write(config.to_json())
+    return directory
+
+
+def load_checkpoint(directory: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore into the structure of ``template`` (same config/optimizer)."""
+    with open(os.path.join(directory, STATE_FILE), "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    meta_path = os.path.join(directory, META_FILE)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def load_config(directory: str) -> Optional[ExperimentConfig]:
+    path = os.path.join(directory, CONFIG_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return ExperimentConfig.from_json(f.read())

@@ -1,0 +1,357 @@
+"""Training/eval runtime: jitted sharded steps + epoch driver.
+
+Replaces the reference trainer (trainer.py:13-290) with a TPU-native design:
+
+  * ONE jitted train step: on-device MLM masking (3 views), the fused
+    three-pass forward, loss, grad, AdamW update -- donated buffers, no
+    host round-trips besides metric scalars;
+  * data parallel (x tensor parallel) over a jax Mesh: params/opt state are
+    device_put with GSPMD shardings once, batches are sharded on the data
+    axis every step, XLA inserts the gradient psum over ICI;
+  * deterministic eval: no MLM masking, aligned pairs (the reference
+    randomly masks and mispairs during eval -- SURVEY.md section 7 (d));
+  * model selection on the validation split by default (reference selects
+    on test, trainer.py:268 -- section 7 (h));
+  * full-state checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import ExperimentConfig
+from ..data.dataset import MultimodalDataset
+from ..metrics.scores import test_ce_score, test_mse_score
+from ..models.mmbert import init_mmbert_params, mmbert_forward, mmbert_loss
+from ..models.weights import load_pretrained_bert
+from ..ops import masking
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..parallel.sharding import param_shardings
+from ..utils.flops import mmbert_step_flops, peak_flops
+from .optim import make_optimizer
+from .train_state import TrainState
+
+
+@dataclass
+class EpochMetrics:
+    loss: float = 0.0
+    mlm_loss: float = 0.0
+    ap_loss: float = 0.0
+    label_loss: float = 0.0
+    nce: float = 0.0
+    steps: int = 0
+    samples: int = 0
+    seconds: float = 0.0
+
+    def update(self, m: Dict[str, Any], batch_size: int):
+        self.loss += float(m["loss"])
+        self.mlm_loss += float(m["mlm_loss"])
+        self.ap_loss += float(m["ap_loss"])
+        self.label_loss += float(m["label_loss"])
+        self.nce += float(m["nce"])
+        self.steps += 1
+        self.samples += batch_size
+
+    def averaged(self) -> Dict[str, float]:
+        s = max(self.steps, 1)
+        out = {
+            "loss": self.loss / s,
+            "mlm_loss": self.mlm_loss / s,
+            "ap_loss": self.ap_loss / s,
+            "label_loss": self.label_loss / s,
+            "nce": self.nce / s,
+        }
+        if self.seconds > 0:
+            out["samples_per_sec"] = self.samples / self.seconds
+        return out
+
+
+@dataclass
+class FitResult:
+    best_epoch: int = -1
+    best_acc: float = 0.0
+    best_mae: float = float("inf")
+    best_f1: float = 0.0
+    best_preds: Optional[np.ndarray] = None
+    best_labels: Optional[np.ndarray] = None
+    history: List[Dict[str, Any]] = field(default_factory=list)
+
+
+class Trainer:
+    """Owns the mesh, the jitted steps, and the epoch/selection loop."""
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        mesh: Optional[Mesh] = None,
+        mask_token_id: int = masking.DEFAULT_MASK_ID,
+        special_ids: Tuple[int, ...] = masking.DEFAULT_SPECIAL_IDS,
+    ):
+        self.config = config
+        tc = config.train
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tc.data_parallel, tc.model_parallel)
+        self.compute_dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+        self.mask_token_id = mask_token_id
+        self.special_ids = tuple(special_ids)
+        self.tx = None  # set in init_state
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    # State
+    # ------------------------------------------------------------------
+
+    def init_state(
+        self,
+        rng: jax.Array,
+        total_steps: int,
+        pretrained_state_dict: Optional[Dict[str, Any]] = None,
+    ) -> TrainState:
+        cfg = self.config.model
+        if pretrained_state_dict is not None:
+            params = init_mmbert_params(rng, cfg)
+            params = load_pretrained_bert(pretrained_state_dict, cfg, params)
+            shardings = param_shardings(params, self.mesh)
+            params = jax.device_put(params, shardings)
+        else:
+            # Init directly on-device, sharded (one compiled program instead
+            # of hundreds of eager RNG dispatches).
+            abstract = jax.eval_shape(lambda k: init_mmbert_params(k, cfg), rng)
+            shardings = param_shardings(abstract, self.mesh)
+            params = jax.jit(lambda k: init_mmbert_params(k, cfg),
+                             out_shardings=shardings)(rng)
+        self.tx = make_optimizer(self.config.train, total_steps)
+        opt_state = jax.jit(self.tx.init)(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    # Steps
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.config.model
+        tc = self.config.train
+        tx = self.tx
+        mask_id = self.mask_token_id
+        special = self.special_ids
+        mlm_on = self.config.data.mlm
+        mlm_prob = self.config.data.mlm_probability
+        compute_dtype = self.compute_dtype
+        use_flash = tc.use_flash_attention
+
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                       base_rng: jax.Array):
+            rng = jax.random.fold_in(base_rng, state.step)
+            k_t, k_v, k_s, k_drop = jax.random.split(rng, 4)
+            ids = batch["text_ids"]
+            if mlm_on:
+                t_ids, t_lab = masking.mask_tokens(k_t, ids, mlm_prob, mask_id, special)
+                tv_ids, tv_lab = masking.mask_tokens(k_v, ids, mlm_prob, mask_id, special)
+                ts_ids, ts_lab = masking.mask_tokens(k_s, ids, mlm_prob, mask_id, special)
+            else:
+                t_ids = tv_ids = ts_ids = ids
+                t_lab = tv_lab = ts_lab = jnp.where(
+                    batch["text_mask"] > 0, ids, masking.IGNORE_INDEX)
+
+            def loss_fn(params):
+                out = mmbert_forward(
+                    params, t_ids, batch["text_mask"], tv_ids, ts_ids,
+                    batch["visual"], batch["speech"], cfg,
+                    deterministic=False, rng=k_drop,
+                    compute_dtype=compute_dtype, use_flash=use_flash,
+                    remat=tc.remat, mlm_scores=False,
+                )
+                losses = mmbert_loss(
+                    params, out, t_lab, tv_lab, ts_lab,
+                    batch["visual_ap"], batch["speech_ap"], batch["target"],
+                    cfg, weights=batch["weight"],
+                )
+                return losses["loss"], losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                      state.params, updates)
+            new_state = TrainState(params=new_params, opt_state=new_opt,
+                                   step=state.step + 1)
+            metrics = {k: losses[k] for k in
+                       ("loss", "mlm_loss", "ap_loss", "label_loss", "nce")}
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        cfg = self.config.model
+        tc = self.config.train
+        mask_id = self.mask_token_id
+        special = self.special_ids
+        mlm_prob = self.config.data.mlm_probability
+        compute_dtype = self.compute_dtype
+        use_flash = tc.use_flash_attention
+        eval_masking = tc.eval_masking
+
+        def eval_step(params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+            ids = batch["text_ids"]
+            if eval_masking:
+                k_t, k_v, k_s = jax.random.split(rng, 3)
+                t_ids, t_lab = masking.mask_tokens(k_t, ids, mlm_prob, mask_id, special)
+                tv_ids, tv_lab = masking.mask_tokens(k_v, ids, mlm_prob, mask_id, special)
+                ts_ids, ts_lab = masking.mask_tokens(k_s, ids, mlm_prob, mask_id, special)
+            else:
+                t_ids = tv_ids = ts_ids = ids
+                ignore = jnp.full_like(ids, masking.IGNORE_INDEX)
+                t_lab = tv_lab = ts_lab = ignore
+            out = mmbert_forward(
+                params, t_ids, batch["text_mask"], tv_ids, ts_ids,
+                batch["visual"], batch["speech"], cfg,
+                deterministic=True, compute_dtype=compute_dtype,
+                use_flash=use_flash, mlm_scores=False,
+            )
+            losses = mmbert_loss(
+                params, out, t_lab, tv_lab, ts_lab,
+                batch["visual_ap"], batch["speech_ap"], batch["target"],
+                cfg, weights=batch["weight"],
+            )
+            return losses
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # Epochs
+    # ------------------------------------------------------------------
+
+    def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    def train_epoch(self, state: TrainState, dataset: MultimodalDataset,
+                    epoch: int, rng: jax.Array) -> Tuple[TrainState, EpochMetrics]:
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        tc = self.config.train
+        em = EpochMetrics()
+        t0 = time.perf_counter()
+        for batch in dataset.epoch_batches(epoch, tc.train_batch_size,
+                                           shuffle=True,
+                                           force_aligned=False):
+            sb = self._shard_batch(batch)
+            state, metrics = self._train_step(state, sb, rng)
+            em.update(jax.device_get(metrics), tc.train_batch_size)
+        em.seconds = time.perf_counter() - t0
+        return state, em
+
+    def eval_epoch(self, state: TrainState, dataset: MultimodalDataset,
+                   epoch: int, rng: jax.Array, batch_size: int
+                   ) -> Tuple[EpochMetrics, np.ndarray, np.ndarray]:
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        tc = self.config.train
+        em = EpochMetrics()
+        preds: List[np.ndarray] = []
+        labels: List[np.ndarray] = []
+        t0 = time.perf_counter()
+        for batch in dataset.epoch_batches(epoch, batch_size, shuffle=False,
+                                           force_aligned=not tc.eval_random_pairs):
+            w = batch["weight"] > 0
+            sb = self._shard_batch(batch)
+            losses = jax.device_get(self._eval_step(state.params, sb, rng))
+            em.update(losses, int(w.sum()))
+            preds.append(np.asarray(losses["predictions"]).reshape(len(w), -1)[w])
+            labels.append(batch["target"][w])
+        em.seconds = time.perf_counter() - t0
+        return em, np.concatenate(preds), np.concatenate(labels)
+
+    # ------------------------------------------------------------------
+    # Fit
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        state: TrainState,
+        train_ds: MultimodalDataset,
+        val_ds: MultimodalDataset,
+        test_ds: MultimodalDataset,
+        logger=None,
+        checkpoint_dir: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, FitResult]:
+        tc = self.config.train
+        log = logger.info if logger else (lambda *a: print(a[0] % tuple(a[1:]) if a[1:] else a[0]))
+        rng = rng if rng is not None else jax.random.key(tc.seed)
+        scorer = test_mse_score if self.config.model.regression else test_ce_score
+
+        result = FitResult()
+        patience = 0
+        for epoch in range(tc.n_epochs):
+            patience += 1
+            state, tm = self.train_epoch(state, train_ds, epoch, rng)
+            t = tm.averaged()
+            log("[Train Epoch %d] Joint %.4f AP %.4f MLM %.4f Label %.4f NCE %.4f (%.1f samples/s)",
+                epoch + 1, t["loss"], t["ap_loss"], t["mlm_loss"],
+                t["label_loss"], t["nce"], t.get("samples_per_sec", 0.0))
+
+            vm, vpreds, vlabels = self.eval_epoch(state, val_ds, epoch, rng,
+                                                  tc.val_batch_size)
+            val_acc, val_mae, val_f1 = scorer(vpreds, vlabels)
+            v = vm.averaged()
+            log("[Val Epoch %d] Loss %.4f ACC %.4f MAE %.4f F1 %.4f",
+                epoch + 1, v["loss"], val_acc, val_mae, val_f1)
+
+            tm_, tpreds, tlabels = self.eval_epoch(state, test_ds, epoch, rng,
+                                                   tc.test_batch_size)
+            test_acc, test_mae, test_f1 = scorer(tpreds, tlabels)
+            log("[Epoch %d] Test_ACC %.4f Test_MAE %.4f Test_F1 %.4f",
+                epoch + 1, test_acc, test_mae, test_f1)
+
+            select_acc = val_acc if tc.select_on == "val" else test_acc
+            result.history.append({
+                "epoch": epoch + 1, "train": t, "val_acc": val_acc,
+                "val_mae": val_mae, "test_acc": test_acc, "test_mae": test_mae,
+                "test_f1": test_f1,
+            })
+
+            if select_acc > result.best_acc:
+                result.best_epoch = epoch
+                result.best_acc = select_acc
+                result.best_mae = test_mae
+                result.best_f1 = test_f1
+                result.best_preds = tpreds
+                result.best_labels = tlabels
+                patience = 0
+                if checkpoint_dir:
+                    from .checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_dir, state, self.config, epoch)
+
+            if patience >= tc.patience:
+                log("Early stopping at epoch %d", epoch + 1)
+                break
+
+        log("[Best Epoch %d] ACC %.4f MAE %.4f F1 %.4f",
+            result.best_epoch + 1, result.best_acc, result.best_mae,
+            result.best_f1)
+        return state, result
+
+    # ------------------------------------------------------------------
+    # Perf accounting
+    # ------------------------------------------------------------------
+
+    def step_flops(self) -> float:
+        return mmbert_step_flops(self.config.model,
+                                 self.config.train.train_batch_size,
+                                 self.config.data.max_seq_length)
+
+    def mfu(self, samples_per_sec: float) -> float:
+        per_step = self.step_flops()
+        steps_per_sec = samples_per_sec / self.config.train.train_batch_size
+        n_dev = self.mesh.devices.size
+        desc = str(jax.devices()[0])
+        return per_step * steps_per_sec / (peak_flops(desc) * n_dev)

@@ -1,0 +1,52 @@
+"""Analytic FLOPs model for throughput/MFU reporting.
+
+The reference has no timing or efficiency accounting anywhere (SURVEY.md
+section 6); these counters feed the trainer logs and bench.py.
+"""
+
+from __future__ import annotations
+
+from ..configs import MMBertConfig
+
+# bf16 peak matmul throughput per chip.
+PEAK_FLOPS = {
+    "tpu v5 lite": 394e12,   # v5e
+    "tpu v5e": 394e12,
+    "tpu v4": 275e12,
+    "tpu v6e": 918e12,
+}
+DEFAULT_PEAK = 394e12
+
+
+def encoder_flops(batch: int, seq: int, hidden: int, inter: int, layers: int) -> float:
+    """Forward matmul FLOPs for one encoder pass."""
+    tokens = batch * seq
+    per_token = 2 * (4 * hidden * hidden + 2 * hidden * inter)
+    attn = 2 * 2 * batch * seq * seq * hidden  # scores + context
+    return layers * (tokens * per_token + attn)
+
+
+def mmbert_step_flops(cfg: MMBertConfig, batch: int, seq: int,
+                      backward: bool = True, gathered_mlm: bool = True) -> float:
+    """Matmul FLOPs of one MMBert train step (3 passes + MLM heads)."""
+    b = cfg.bert
+    fwd = encoder_flops(batch, seq, b.hidden_size, b.intermediate_size,
+                        b.num_hidden_layers)
+    fwd += encoder_flops(2 * batch, 2 * seq, b.hidden_size, b.intermediate_size,
+                         b.num_hidden_layers)
+    if gathered_mlm:
+        # masked-position gather: 3 views x cap positions (see mmbert_loss)
+        positions = 3 * (int(0.35 * batch * seq) + 16)
+    else:
+        positions = batch * seq + 2 * batch * 2 * seq
+    fwd += 2 * positions * b.hidden_size * b.padded_vocab_size
+    fwd += 2 * positions * b.hidden_size * b.hidden_size  # transform dense
+    return fwd * (3.0 if backward else 1.0)
+
+
+def peak_flops(platform_desc: str = "") -> float:
+    desc = platform_desc.lower()
+    for k, v in PEAK_FLOPS.items():
+        if k in desc:
+            return v
+    return DEFAULT_PEAK

@@ -1,0 +1,114 @@
+"""Metric parity: numpy reimplementations vs sklearn/statsmodels and the
+reference's score.py formulas."""
+
+import numpy as np
+import pytest
+
+from msa_tpu.metrics import (
+    ACC7, accuracy_score, f1_score_weighted, mcnemar_test, misa_report,
+    multiclass_acc, pearson_corr,
+)
+from msa_tpu.metrics import test_ce_score as ce_score
+from msa_tpu.metrics import test_mse_score as mse_score
+
+sklearn_metrics = pytest.importorskip("sklearn.metrics")
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    truth = np.clip(rng.normal(0, 1.5, 200), -3, 3)
+    truth[rng.uniform(size=200) < 0.05] = 0.0
+    preds = truth + rng.normal(0, 1.0, 200)
+    return truth, preds
+
+
+def test_accuracy_matches_sklearn(data):
+    truth, preds = data
+    yt = (truth > 0).astype(int)
+    yp = (preds > 0).astype(int)
+    assert accuracy_score(yt, yp) == pytest.approx(
+        sklearn_metrics.accuracy_score(yt, yp))
+
+
+def test_f1_weighted_matches_sklearn(data):
+    truth, preds = data
+    yt = (truth > 0).astype(int)
+    yp = (preds > 0).astype(int)
+    assert f1_score_weighted(yt, yp) == pytest.approx(
+        sklearn_metrics.f1_score(yt, yp, average="weighted"))
+
+
+def test_f1_weighted_multiclass_matches_sklearn():
+    rng = np.random.default_rng(3)
+    yt = rng.integers(0, 5, 300)
+    yp = rng.integers(0, 5, 300)
+    assert f1_score_weighted(yt, yp) == pytest.approx(
+        sklearn_metrics.f1_score(yt, yp, average="weighted"))
+
+
+def test_pearson_matches_numpy(data):
+    truth, preds = data
+    assert pearson_corr(preds, truth) == pytest.approx(
+        np.corrcoef(preds, truth)[0][1])
+
+
+def test_mcnemar_matches_statsmodels(data):
+    statsmodels = pytest.importorskip("statsmodels.stats.contingency_tables")
+    truth, preds = data
+    bt = truth > 0
+    bp = preds > 0
+    tt = int(np.sum(bp & bt)); ft = int(np.sum(bp & ~bt))
+    tf = int(np.sum(~bp & bt)); ff = int(np.sum(~bp & ~bt))
+    ref = statsmodels.mcnemar([[tt, tf], [ft, ff]], exact=False)
+    ours = mcnemar_test(tt, tf, ft, ff)
+    assert ours["statistic"] == pytest.approx(ref.statistic)
+    assert ours["pvalue"] == pytest.approx(ref.pvalue, abs=1e-10)
+
+
+def test_acc7_reference_bucketing():
+    """Pin the reference's asymmetric buckets (score.py:7-42)."""
+    vals = np.array([-2.5, -2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5])
+    same = ACC7(vals.copy(), vals.copy())
+    assert same == 1.0
+    # -2 maps to bucket -2 but 2 maps to bucket 2; 1.0 -> 1 (0 < v <= 1)
+    assert ACC7(np.array([1.0]), np.array([0.9])) == 1.0
+    assert ACC7(np.array([-1.0]), np.array([-0.9])) == 1.0
+    assert ACC7(np.array([0.0]), np.array([0.1])) == 0.0
+
+
+def test_acc7_does_not_mutate_inputs():
+    a = np.array([2.5, -2.5])
+    b = np.array([2.5, -2.5])
+    ACC7(a, b)
+    assert list(a) == [2.5, -2.5]
+
+
+def test_multiclass_acc():
+    assert multiclass_acc(np.array([1.4, 2.6]), np.array([1.0, 3.0])) == 1.0
+
+
+def test_misa_report_keys(data):
+    truth, preds = data
+    rep = misa_report(truth, preds)
+    for k in ("mae", "corr", "mult_acc7", "acc7", "acc2_posneg", "f1_posneg",
+              "acc2_nonneg", "f1_nonneg", "mcnemar_p"):
+        assert k in rep
+    assert 0 <= rep["acc2_posneg"] <= 1
+    # accuracy symmetric: swap_binary must not change it
+    rep2 = misa_report(truth, preds, swap_binary=True)
+    assert rep["acc2_posneg"] == pytest.approx(rep2["acc2_posneg"])
+
+
+def test_trainer_scorers(data):
+    truth, preds = data
+    acc, mae, f1 = mse_score(preds, truth)
+    assert mae == pytest.approx(np.mean(np.abs(preds - truth)))
+    assert acc == pytest.approx(
+        sklearn_metrics.accuracy_score(truth >= 0, preds >= 0))
+    yt = (truth > 0).astype(int)
+    yp = (preds > 0).astype(int)
+    acc_ce, _, f1_ce = ce_score(yp, yt)
+    assert acc_ce == pytest.approx(sklearn_metrics.accuracy_score(yt, yp))
+    assert f1_ce == pytest.approx(
+        sklearn_metrics.f1_score(yt, yp, average="weighted"))

@@ -1,0 +1,117 @@
+"""MMBert loss semantics: dense vs gathered MLM CE, loss assembly identity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msa_tpu.configs import MMBertConfig, tiny_bert_config
+from msa_tpu.models.mmbert import (
+    gathered_mlm_ce, init_mmbert_params, mlm_logits, mmbert_forward,
+    mmbert_loss,
+)
+from msa_tpu.ops import losses as L
+from msa_tpu.ops.masking import mask_tokens
+
+
+CFG = MMBertConfig(bert=tiny_bert_config(vocab_size=120), visual_dim=5,
+                   speech_dim=7, num_labels=1, alpha=0.4, beta=0.7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    b, s = 4, 12
+    params = init_mmbert_params(jax.random.key(0), CFG)
+    ids = jnp.asarray(rng.integers(10, 120, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    visual = jnp.asarray(rng.standard_normal((b, s, 5)), jnp.float32)
+    speech = jnp.asarray(rng.standard_normal((b, s, 7)), jnp.float32)
+    m_ids, labels = mask_tokens(jax.random.key(1), ids, 0.3,
+                                mask_token_id=4, special_ids=(0, 2, 3, 4))
+    return params, ids, m_ids, labels, mask, visual, speech
+
+
+def test_gathered_equals_dense(setup):
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    out = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                         CFG, mlm_scores=True)
+    dense = float(L.cross_entropy(out["mlm_text"], labels))
+    gathered = float(gathered_mlm_ce(params, out["seq_text"], labels, None,
+                                     CFG, cap=48))
+    assert gathered == pytest.approx(dense, rel=1e-5)
+
+
+def test_gathered_equals_dense_with_weights(setup):
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    out = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                         CFG, mlm_scores=True)
+    w = jnp.array([1.0, 1.0, 0.0, 1.0])
+    dense = float(L.cross_entropy(out["mlm_text"], labels, w))
+    gathered = float(gathered_mlm_ce(params, out["seq_text"], labels, w,
+                                     CFG, cap=48))
+    assert gathered == pytest.approx(dense, rel=1e-5)
+
+
+def test_loss_paths_agree(setup):
+    """Fused (mlm_scores=False) and dense loss paths give the same totals."""
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    ap = jnp.array([1, 0, 1, 1])
+    target = jnp.array([0.5, -0.2, 0.1, 0.9])
+    args = (labels, labels, labels, ap, ap, target, CFG)
+    out_dense = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual,
+                               speech, CFG, mlm_scores=True)
+    out_fused = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual,
+                               speech, CFG, mlm_scores=False)
+    l_dense = mmbert_loss(params, out_dense, *args)
+    l_fused = mmbert_loss(params, out_fused, *args)
+    for k in ("loss", "mlm_loss", "ap_loss", "label_loss", "nce"):
+        assert float(l_fused[k]) == pytest.approx(float(l_dense[k]), rel=1e-4), k
+
+
+def test_joint_loss_assembly(setup):
+    """joint = alpha*mlm + ap + label - beta*nce (ref line 443)."""
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    ap = jnp.array([1, 0, 1, 1])
+    target = jnp.array([0.5, -0.2, 0.1, 0.9])
+    out = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                         CFG, mlm_scores=True)
+    l = mmbert_loss(params, out, labels, labels, labels, ap, ap, target, CFG)
+    expected = (CFG.alpha * float(l["mlm_loss"]) + float(l["ap_loss"])
+                + float(l["label_loss"]) - CFG.beta * float(l["nce"]))
+    # abs tolerance: the joint loss is a small difference of ~O(5) f32 terms
+    assert float(l["loss"]) == pytest.approx(expected, abs=1e-5)
+
+
+def test_remat_forward_matches(setup):
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    a = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                       CFG, remat=False, mlm_scores=False)
+    b = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                       CFG, remat=True, mlm_scores=False)
+    np.testing.assert_allclose(np.asarray(a["logits"]), np.asarray(b["logits"]),
+                               atol=1e-6)
+
+
+def test_pair_frame_mask_semantics():
+    from msa_tpu.models.mmbert import pair_frame_mask
+    f = np.zeros((2, 4, 3), np.float32)
+    f[0, 0, 1] = 0.5   # real frame with first coord zero (robustness case)
+    f[1, 2, 0] = -1.0
+    m = np.asarray(pair_frame_mask(jnp.asarray(f)))
+    assert m.tolist() == [[1, 0, 0, 0], [0, 0, 1, 0]]
+
+
+def test_num_labels_7_uses_raw_logits(setup):
+    """num_labels=7 regression: no tanh squash (ref applies tanh only for 1)."""
+    import dataclasses
+    cfg7 = dataclasses.replace(CFG, num_labels=7)
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    out = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                         cfg7, mlm_scores=False)
+    ap = jnp.array([1, 0, 1, 1])
+    target = jnp.array([2.5, -1.2, 0.1, 2.9])
+    l = mmbert_loss(params, out, labels, labels, labels, ap, ap, target, cfg7)
+    np.testing.assert_allclose(np.asarray(l["predictions"]).reshape(-1),
+                               np.asarray(out["logits"]).reshape(-1))

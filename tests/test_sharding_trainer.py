@@ -1,0 +1,154 @@
+"""Multi-chip sharding + trainer integration on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msa_tpu.configs import (
+    DataConfig, ExperimentConfig, MMBertConfig, TrainConfig, tiny_bert_config,
+)
+from msa_tpu.data import MultimodalDataset, synthetic_split
+from msa_tpu.models import init_mmbert_params
+from msa_tpu.parallel import make_mesh, param_specs, shard_params
+from msa_tpu.training import Trainer, TrainState, load_checkpoint, save_checkpoint
+from jax.sharding import PartitionSpec as P
+
+
+def tiny_experiment(num_labels=1, **train_kw):
+    bert = tiny_bert_config(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=120)
+    kw = dict(n_epochs=2, train_batch_size=8, val_batch_size=8,
+              test_batch_size=8, compute_dtype="float32",
+              learning_rate=1e-3, patience=5, data_parallel=-1,
+              use_flash_attention="never")
+    kw.update(train_kw)
+    return ExperimentConfig(
+        model_name="tiny",
+        model=MMBertConfig(bert=bert, visual_dim=5, speech_dim=7,
+                           num_labels=num_labels),
+        data=DataConfig(dataset="mosi", num_labels=num_labels, max_seq_length=16),
+        train=TrainConfig(**kw),
+    )
+
+
+def make_datasets(n=24, num_labels=1):
+    tr = synthetic_split(n, 16, 5, 7, vocab_size=120, num_labels=num_labels, seed=0)
+    va = synthetic_split(12, 16, 5, 7, vocab_size=120, num_labels=num_labels, seed=1)
+    te = synthetic_split(12, 16, 5, 7, vocab_size=120, num_labels=num_labels, seed=2)
+    return (MultimodalDataset(tr, seed=0), MultimodalDataset(va, seed=1),
+            MultimodalDataset(te, seed=2))
+
+
+TINY_MASK_ARGS = dict(mask_token_id=4, special_ids=(0, 1, 2, 3, 4))
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(-1, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_param_specs_rules():
+    cfg = tiny_experiment().model
+    params = init_mmbert_params(jax.random.key(0), cfg)
+    specs = param_specs(params)
+    assert specs["bert"]["embeddings"]["word"] == P("model", None)
+    assert specs["bert"]["layers"]["q"]["kernel"] == P(None, None, "model")
+    assert specs["bert"]["layers"]["o"]["kernel"] == P(None, "model", None)
+    assert specs["bert"]["layers"]["wi"]["kernel"] == P(None, None, "model")
+    assert specs["bert"]["layers"]["wo"]["kernel"] == P(None, "model", None)
+    assert specs["cls"]["decoder_bias"] == P("model")
+    assert specs["bert"]["layers"]["attn_ln"]["scale"] == P()
+    assert specs["fusion"]["classifier1"]["kernel"] == P()
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4)])
+def test_train_step_runs_on_mesh(dp, mp):
+    """Full train step under dp x tp sharding: loss finite, params update."""
+    exp = tiny_experiment(data_parallel=dp, model_parallel=mp)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    state = trainer.init_state(jax.random.key(0), total_steps=10)
+    train_ds, _, _ = make_datasets()
+    batch = next(train_ds.epoch_batches(0, 8))
+    sb = trainer._shard_batch(batch)
+    step_fn = trainer._build_train_step()
+    before = float(jnp.sum(jnp.abs(state.params["fusion"]["classifier1"]["kernel"])))
+    # step 1 applies lr(0)=0 under linear warmup (HF semantics); step 2 moves.
+    state2, metrics = step_fn(state, sb, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    sb2 = trainer._shard_batch(batch)
+    state3, metrics2 = step_fn(state2, sb2, jax.random.key(1))
+    after = float(jnp.sum(jnp.abs(state3.params["fusion"]["classifier1"]["kernel"])))
+    assert after != before
+    assert int(state3.step) == 2
+
+
+def test_dp_matches_single_device():
+    """The same batch gives the same loss on a 1-device and 8-device mesh."""
+    exp1 = tiny_experiment(data_parallel=1)
+    exp8 = tiny_experiment(data_parallel=8)
+    t1 = Trainer(exp1, mesh=make_mesh(1, 1, devices=jax.devices()[:1]), **TINY_MASK_ARGS)
+    t8 = Trainer(exp8, **TINY_MASK_ARGS)
+    s1 = t1.init_state(jax.random.key(0), 10)
+    s8 = t8.init_state(jax.random.key(0), 10)
+    ds, _, _ = make_datasets()
+    batch = next(ds.epoch_batches(0, 8))
+    f1 = t1._build_train_step()
+    f8 = t8._build_train_step()
+    _, m1 = f1(s1, t1._shard_batch(batch), jax.random.key(2))
+    _, m8 = f8(s8, t8._shard_batch(batch), jax.random.key(2))
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
+
+
+def test_fit_loop_and_early_artifacts(tmp_path):
+    exp = tiny_experiment()
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    train_ds, val_ds, test_ds = make_datasets()
+    total = train_ds.num_batches(8) * exp.train.n_epochs
+    state = trainer.init_state(jax.random.key(0), total)
+    state, result = trainer.fit(state, train_ds, val_ds, test_ds,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+    assert len(result.history) == 2
+    assert result.best_preds is not None
+    assert result.best_preds.shape[0] == 12  # padding rows excluded
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    exp = tiny_experiment()
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    state = trainer.init_state(jax.random.key(0), 10)
+    train_ds, _, _ = make_datasets()
+    batch = next(train_ds.epoch_batches(0, 8))
+    fn = trainer._build_train_step()
+    state, _ = fn(state, trainer._shard_batch(batch), jax.random.key(1))
+    save_checkpoint(str(tmp_path), state, exp, epoch=0)
+
+    trainer2 = Trainer(exp, **TINY_MASK_ARGS)
+    template = trainer2.init_state(jax.random.key(99), 10)
+    restored, meta = load_checkpoint(str(tmp_path), template)
+    assert meta["step"] == 1
+    a = jax.device_get(state.params)
+    b = jax.device_get(restored.params)
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_classification_path():
+    """num_labels=2 CE head end-to-end (the reference's was unusable)."""
+    exp = tiny_experiment(num_labels=2)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    train_ds, val_ds, test_ds = make_datasets(num_labels=2)
+    state = trainer.init_state(jax.random.key(0), 10)
+    fn = trainer._build_train_step()
+    batch = next(train_ds.epoch_batches(0, 8))
+    state, metrics = fn(state, trainer._shard_batch(batch), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    em, preds, labels = trainer.eval_epoch(state, val_ds, 0, jax.random.key(2), 8)
+    assert set(np.unique(preds)).issubset({0, 1})

@@ -81,7 +81,8 @@ def load_splits(args) -> Tuple[MultimodalDataset, MultimodalDataset,
     if args.data_pkl:
         if not args.vocab:
             sys.exit("--vocab is required with --data_pkl")
-        tokenizer = Tokenizer.from_file(args.vocab)
+        from ..data.fast_wordpiece import FastTokenizer
+        tokenizer = FastTokenizer(args.vocab)  # native path, python fallback
         with open(args.data_pkl, "rb") as f:
             data = pickle.load(f)
         splits = []

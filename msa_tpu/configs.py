@@ -167,6 +167,12 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
     use_flash_attention: str = "auto"  # auto | always | never
     remat: bool = True  # jax.checkpoint encoder layers + fused MLM CE
+    # Write a jax profiler trace of train steps [profile_start, profile_stop)
+    # of epoch 0 into this directory (None = off).  Ref has no tracing at all
+    # (SURVEY.md section 5.1).
+    profile_dir: Optional[str] = None
+    profile_start: int = 3
+    profile_stop: int = 8
     data_parallel: int = -1  # -1 -> all devices
     model_parallel: int = 1
     seed: int = 42

@@ -115,25 +115,32 @@ def featurize(
         visual = np.asarray(visual, dtype=np.float32)
         speech = np.asarray(speech, dtype=np.float32)
 
-        tokens: List[str] = []
-        inversions: List[int] = []
-        for i, word in enumerate(list(words)):
-            pieces = tokenizer.tokenize(str(word))
-            tokens.extend(pieces)
-            inversions.extend([i] * len(pieces))
-        assert len(tokens) == len(inversions)
+        if hasattr(tokenizer, "encode_words"):
+            # native/batched fast path (msa_tpu.data.fast_wordpiece)
+            token_ids_all, inv = tokenizer.encode_words(list(words))
+            inv = inv.astype(np.int64)
+        else:
+            tokens: List[str] = []
+            inversions: List[int] = []
+            for i, word in enumerate(list(words)):
+                pieces = tokenizer.tokenize(str(word))
+                tokens.extend(pieces)
+                inversions.extend([i] * len(pieces))
+            assert len(tokens) == len(inversions)
+            token_ids_all = np.asarray(
+                tokenizer.convert_tokens_to_ids(tokens), np.int32)
+            inv = np.asarray(inversions, dtype=np.int64)
 
-        inv = np.asarray(inversions, dtype=np.int64)
         new_visual = visual[inv] if len(inv) else np.zeros((0, visual_dim), np.float32)
         new_speech = speech[inv] if len(inv) else np.zeros((0, speech_dim), np.float32)
 
-        if len(tokens) > L - 2:
-            tokens = tokens[: L - 2]
+        if len(token_ids_all) > L - 2:
+            token_ids_all = token_ids_all[: L - 2]
             new_visual = new_visual[: L - 2]
             new_speech = new_speech[: L - 2]
 
-        t = len(tokens)
-        token_ids = tokenizer.convert_tokens_to_ids(tokens)
+        t = len(token_ids_all)
+        token_ids = token_ids_all
         ids[idx, 0] = cls_id
         ids[idx, 1 : t + 1] = token_ids
         ids[idx, t + 1] = sep_id

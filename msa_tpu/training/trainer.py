@@ -239,13 +239,21 @@ class Trainer:
             self._train_step = self._build_train_step()
         tc = self.config.train
         em = EpochMetrics()
+        profiling = tc.profile_dir is not None and epoch == 0
         t0 = time.perf_counter()
-        for batch in dataset.epoch_batches(epoch, tc.train_batch_size,
-                                           shuffle=True,
-                                           force_aligned=False):
-            sb = self._shard_batch(batch)
-            state, metrics = self._train_step(state, sb, rng)
+        for i, batch in enumerate(dataset.epoch_batches(
+                epoch, tc.train_batch_size, shuffle=True, force_aligned=False)):
+            if profiling and i == tc.profile_start:
+                jax.profiler.start_trace(tc.profile_dir)
+            with jax.profiler.StepTraceAnnotation("train", step_num=i):
+                sb = self._shard_batch(batch)
+                state, metrics = self._train_step(state, sb, rng)
             em.update(jax.device_get(metrics), tc.train_batch_size)
+            if profiling and i + 1 == tc.profile_stop:
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling and tc.profile_start <= i:  # epoch shorter than window
+            jax.profiler.stop_trace()
         em.seconds = time.perf_counter() - t0
         return state, em
 

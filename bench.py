@@ -55,7 +55,7 @@ def main():
 
     state = trainer.init_state(jax.random.key(0), total_steps=10_000)
     step = trainer._build_train_step()
-    rng = jax.random.key(1)
+    rng = trainer.rng(1)
 
     sharded = [trainer._shard_batch(b) for b in batches]
     # NOTE: device_get (not block_until_ready) is the sync point -- on the

@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emotion", type=str, default="sentiment")
     p.add_argument("--num_labels", type=int, default=1)
     p.add_argument("--model", type=str,
-                   choices=["bert-base-uncased", "bert-large-uncased"],
+                   choices=["bert-base-uncased", "bert-large-uncased", "tiny"],
                    default="bert-large-uncased")
     p.add_argument("--learning_rate", type=float, default=5e-4)
     p.add_argument("--warmup_proportion", type=float, default=0.1)

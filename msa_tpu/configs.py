@@ -76,6 +76,19 @@ BERT_PRESETS = {
 }
 
 
+def _register_tiny_preset():
+    # 'tiny' exists for CI/smoke runs (the reference CLI only offered
+    # base/large, train.py:28); registered via function so tests can assert
+    # the real presets stay untouched.
+    BERT_PRESETS["tiny"] = BertConfig(
+        vocab_size=30522, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=128, vocab_pad_multiple=128)
+
+
+_register_tiny_preset()
+
+
 def tiny_bert_config(
     hidden_size: int = 32,
     num_hidden_layers: int = 2,
@@ -167,6 +180,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
     use_flash_attention: str = "auto"  # auto | always | never
     remat: bool = True  # jax.checkpoint encoder layers + fused MLM CE
+    # PRNG implementation for training keys: 'rbg' is much faster than
+    # 'threefry2x32' on TPU for the per-step dropout/masking draws.
+    prng_impl: str = "rbg"
     # Write a jax profiler trace of train steps [profile_start, profile_stop)
     # of epoch 0 into this directory (None = off).  Ref has no tracing at all
     # (SURVEY.md section 5.1).

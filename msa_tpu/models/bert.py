@@ -200,7 +200,9 @@ def bert_encoder(
         h = layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps)
         # --- mlp ---
         up = dense(h, lp["wi"])
-        up = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(dtype)
+        # gelu in the compute dtype: in bf16 this halves FFN activation
+        # traffic; in f32 it is exact (golden parity).
+        up = jax.nn.gelu(up, approximate=False)
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
         h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)

@@ -120,19 +120,32 @@ def joint_embed(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    fused: str = "auto",
 ) -> jnp.ndarray:
     """ReLU-project pair frames, concat on the sequence axis, LN + dropout.
 
     Ref JointEmbeddings.forward (MMBertEmbedding.py:57-72).  The LayerNorm
     deliberately covers both halves (text gets double-normalized), matching
     the reference.  Returns [B, 2L, H].
+
+    On TPU the projection+ReLU+concat+LayerNorm run as one Pallas kernel
+    (ops/fused_joint_embed.py); dropout stays a separate op.
     """
     jp = params["joint"]
     dtype = text_embeddings.dtype
-    proj = dense(pair_features.astype(dtype), jp[proj_name])
-    proj = jax.nn.relu(proj)
-    x = jnp.concatenate([text_embeddings, proj], axis=1)
-    x = layer_norm(x, jp["ln"], cfg.bert.layer_norm_eps)
+    use_fused = fused == "always" or (
+        fused == "auto" and jax.devices()[0].platform == "tpu")
+    if use_fused:
+        from ..ops.fused_joint_embed import fused_joint_embed
+        x = fused_joint_embed(
+            text_embeddings, pair_features, jp[proj_name]["kernel"],
+            jp[proj_name]["bias"], jp["ln"]["scale"], jp["ln"]["bias"],
+            cfg.bert.layer_norm_eps)
+    else:
+        proj = dense(pair_features.astype(dtype), jp[proj_name])
+        proj = jax.nn.relu(proj)
+        x = jnp.concatenate([text_embeddings, proj], axis=1)
+        x = layer_norm(x, jp["ln"], cfg.bert.layer_norm_eps)
     return _dropout(rng, x, cfg.joint_dropout_prob, deterministic)
 
 
@@ -145,7 +158,7 @@ def mlm_logits(params: Params, sequence_output: jnp.ndarray,
     """
     cp = params["cls"]
     x = dense(sequence_output, cp["transform_dense"])
-    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(sequence_output.dtype)
+    x = jax.nn.gelu(x, approximate=False)
     x = layer_norm(x, cp["transform_ln"], cfg.bert.layer_norm_eps)
     word = params["bert"]["embeddings"]["word"].astype(x.dtype)
     logits = jnp.einsum("...h,vh->...v", x, word, preferred_element_type=jnp.float32,

@@ -1,0 +1,108 @@
+"""Fused joint-embedding Pallas kernel.
+
+The joint view's embedding (ref MMBertEmbedding.py:57-72) is
+``LayerNorm(concat_seq(text_embeddings, relu(W.pair_feats + b)))``.
+XLA fuses the elementwise pieces but still materializes the projection and
+the concatenation in HBM before the LayerNorm; this kernel produces the
+final [2L, H] rows in one VMEM-resident pass per batch element:
+
+  * rows [0, L):  LayerNorm(text_embeddings[i])
+  * rows [L, 2L): LayerNorm(relu(feats[i] @ W + b))   (MXU matmul in-kernel)
+
+Backward recomputes with the XLA reference implementation (exact, cheap at
+these shapes) via custom_vjp, mirroring ops/attention.py's approach.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def _kernel(text_ref, feats_ref, w_ref, b_ref, scale_ref, bias_ref, out_ref,
+            *, eps: float):
+    text = text_ref[0].astype(jnp.float32)           # [L, H]
+    feats = feats_ref[0].astype(jnp.float32)         # [L, D]
+    w = w_ref[:].astype(jnp.float32)                 # [D, H]
+    b = b_ref[0].astype(jnp.float32)                 # [H]
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    proj = jnp.maximum(
+        jnp.dot(feats, w, preferred_element_type=jnp.float32) + b, 0.0)
+
+    def ln(x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+    l = text.shape[0]
+    out_ref[0, :l, :] = ln(text).astype(out_ref.dtype)
+    out_ref[0, l:, :] = ln(proj).astype(out_ref.dtype)
+
+
+def _fused_forward(text_emb, feats, w, b, scale, bias, eps):
+    bsz, l, h = text_emb.shape
+    d = feats.shape[-1]
+    interpret = _platform() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((bsz, 2 * l, h), text_emb.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, l, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * l, h), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(text_emb, feats, w, b[None, :], scale[None, :], bias[None, :])
+
+
+def _ref_forward(text_emb, feats, w, b, scale, bias, eps):
+    dtype = text_emb.dtype
+    proj = jax.nn.relu(
+        jnp.dot(feats.astype(dtype), w.astype(dtype),
+                preferred_element_type=dtype) + b.astype(dtype))
+    x = jnp.concatenate([text_emb, proj], axis=1).astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12):
+    """[B, L, H] text embeddings + [B, L, D] frames -> [B, 2L, H]."""
+    return _fused_forward(text_emb, feats, w, b, scale, bias, eps)
+
+
+def _fwd(text_emb, feats, w, b, scale, bias, eps):
+    out = _fused_forward(text_emb, feats, w, b, scale, bias, eps)
+    return out, (text_emb, feats, w, b, scale, bias)
+
+
+def _bwd(eps, res, g):
+    text_emb, feats, w, b, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _ref_forward(*a, eps), text_emb, feats, w, b, scale, bias)
+    return vjp(g)
+
+
+fused_joint_embed.defvjp(_fwd, _bwd)

@@ -105,6 +105,11 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
 
+    def rng(self, seed: int) -> jax.Array:
+        """Training PRNG key (rbg by default: far cheaper per-step on TPU
+        than threefry for the dropout/masking draws)."""
+        return jax.random.key(seed, impl=self.config.train.prng_impl)
+
     # ------------------------------------------------------------------
     # State
     # ------------------------------------------------------------------
@@ -294,7 +299,7 @@ class Trainer:
     ) -> Tuple[TrainState, FitResult]:
         tc = self.config.train
         log = logger.info if logger else (lambda *a: print(a[0] % tuple(a[1:]) if a[1:] else a[0]))
-        rng = rng if rng is not None else jax.random.key(tc.seed)
+        rng = rng if rng is not None else self.rng(tc.seed)
         scorer = test_mse_score if self.config.model.regression else test_ce_score
 
         result = FitResult()

@@ -1,0 +1,96 @@
+"""CLI end-to-end: reference-format pickle -> train -> sample -> score."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from msa_tpu.data.wordpiece import make_test_vocab
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    os.makedirs(d / "out", exist_ok=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def vocab_file(workdir):
+    # 30522-line vocab so the tiny preset's real vocab size holds.
+    vocab = make_test_vocab()
+    path = workdir / "vocab.txt"
+    with open(path, "w") as f:
+        inv = {v: k for k, v in vocab.items()}
+        for i in range(30522):
+            f.write(inv.get(i, f"[unused{i}]") + "\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def data_pkl(workdir):
+    """Reference pickle format: {'train': [((words, visual, speech), label,
+    segment), ...], 'val': ..., 'test': ...} (ref pre_processing.py:134-138)."""
+    rng = np.random.default_rng(0)
+    words_pool = ["the", "movie", "was", "really", "great", "bad", "not",
+                  "good", "plot", "act", "film"]
+
+    def make_split(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            k = int(r.integers(3, 9))
+            words = np.array(r.choice(words_pool, size=k))
+            visual = r.standard_normal((k, 47)).astype(np.float32)
+            speech = r.standard_normal((k, 74)).astype(np.float32)
+            label = np.array([[float(r.uniform(-3, 3))]])
+            out.append(((words, visual, speech), label, f"vid{i}[{i}]"))
+        return out
+
+    path = workdir / "cmu_mosi.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"train": make_split(16, 1), "val": make_split(8, 2),
+                     "test": make_split(8, 3)}, f)
+    return str(path)
+
+
+def test_train_sample_score_pipeline(workdir, vocab_file, data_pkl, monkeypatch):
+    from msa_tpu.cli.train import main as train_main
+    monkeypatch.chdir(workdir)
+
+    result = train_main([
+        "--platform", "cpu", "--dataset", "mosi", "--num_labels", "7",
+        "--model", "tiny", "--data_pkl", data_pkl, "--vocab", vocab_file,
+        "--n_epochs", "2", "--train_batch_size", "8", "--val_batch_size", "8",
+        "--test_batch_size", "8", "--compute_dtype", "float32", "--dp", "1",
+        "--checkpoint_root", str(workdir / "model_save"),
+        "--numpy_root", str(workdir / "numpy_save"),
+    ])
+    assert result.best_preds is not None
+    assert len(result.history) == 2
+
+    # checkpoint artifacts
+    ckpts = sorted(os.listdir(workdir / "model_save"))
+    assert ckpts
+    ckpt = str(workdir / "model_save" / ckpts[-1])
+    assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+    with open(os.path.join(ckpt, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["model"]["num_labels"] == 7
+
+    # sample CLI reloads checkpoint and scores the pickle's test split
+    from msa_tpu.cli.sample import main as sample_main
+    preds, labels = sample_main([
+        "--checkpoint", ckpt, "--data_pkl", data_pkl, "--vocab", vocab_file,
+        "--batch_size", "8", "--platform", "cpu",
+    ])
+    assert preds.shape[0] == 8
+
+    # score CLI on the dumped arrays
+    runs = sorted(os.listdir(workdir / "numpy_save"))
+    from msa_tpu.cli.score import main as score_main
+    report = score_main(["--path", runs[-1],
+                         "--numpy_root", str(workdir / "numpy_save")])
+    assert "mae" in report and np.isfinite(report["mae"])

@@ -183,6 +183,9 @@ class TrainConfig:
     # PRNG implementation for training keys: 'rbg' is much faster than
     # 'threefry2x32' on TPU for the per-step dropout/masking draws.
     prng_impl: str = "rbg"
+    # One [3B, 2L] encoder call per step instead of [B, L] + [2B, 2L]
+    # (see mmbert_forward.fuse_text_pass).
+    fuse_text_pass: bool = True
     # Write a jax profiler trace of train steps [profile_start, profile_stop)
     # of epoch 0 into this directory (None = off).  Ref has no tracing at all
     # (SURVEY.md section 5.1).

@@ -1,0 +1,95 @@
+"""Batched inference / serving API.
+
+The reference's only inference path is sampling.py's batch-size-1 loop over
+the test set (ref sampling.py:314-330, crashed by signature drift).  This
+module is the production path: load a checkpoint once, jit once, then serve
+fixed-shape batches (ragged inputs are padded to the compiled batch size and
+the padding is dropped from the outputs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import ExperimentConfig
+from .data.featurize import FeaturizedSplit
+from .models.mmbert import init_mmbert_params, mmbert_forward, mmbert_loss
+from .parallel.mesh import make_mesh
+from .parallel.sharding import param_shardings
+from .training.checkpoint import load_checkpoint, load_config
+from .training.train_state import TrainState
+
+
+class Predictor:
+    """Sentiment predictions from aligned tri-modal inputs."""
+
+    def __init__(self, config: ExperimentConfig, params,
+                 batch_size: int = 8, mesh=None):
+        self.config = config
+        self.batch_size = batch_size
+        tc = config.train
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tc.data_parallel, tc.model_parallel)
+        self.params = jax.device_put(params, param_shardings(params, self.mesh))
+        cfg = config.model
+        dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+
+        def forward(params, ids, mask, visual, speech):
+            out = mmbert_forward(
+                params, ids, mask, ids, ids, visual, speech, cfg,
+                deterministic=True, compute_dtype=dtype,
+                use_flash=tc.use_flash_attention, mlm_scores=False,
+                fuse_text_pass=tc.fuse_text_pass)
+            logits = out["logits"]
+            if cfg.regression:
+                preds = jnp.tanh(logits) if cfg.num_labels == 1 else logits
+                return preds.reshape(-1)
+            return jnp.argmax(jax.nn.sigmoid(logits), axis=1)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, directory: str, batch_size: int = 8,
+                        mesh=None) -> "Predictor":
+        config = load_config(directory)
+        if config is None:
+            raise FileNotFoundError(f"no config.json in {directory}")
+        params = init_mmbert_params(jax.random.key(0), config.model)
+        # the msgpack layout includes optimizer state; build a matching template
+        from .training.optim import make_optimizer
+        tx = make_optimizer(config.train, 1)
+        template = TrainState(params=params, opt_state=tx.init(params),
+                              step=jnp.zeros((), jnp.int32))
+        state, _ = load_checkpoint(directory, template)
+        return cls(config, state.params, batch_size, mesh)
+
+    def predict_arrays(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                       visual: np.ndarray, speech: np.ndarray) -> np.ndarray:
+        """[N, L] ids/mask + [N, L, D*] features -> [N] predictions."""
+        n = input_ids.shape[0]
+        bs = self.batch_size
+        out = []
+        for start in range(0, n, bs):
+            end = min(start + bs, n)
+            pad = bs - (end - start)
+            sl = slice(start, end)
+
+            def prep(x):
+                x = np.asarray(x[sl])
+                if pad:
+                    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                return jnp.asarray(x)
+
+            preds = self._forward(self.params, prep(input_ids),
+                                  prep(attention_mask), prep(visual),
+                                  prep(speech))
+            out.append(np.asarray(preds)[: end - start])
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    def predict_split(self, split: FeaturizedSplit) -> np.ndarray:
+        return self.predict_arrays(split.input_ids, split.attention_mask,
+                                   split.visual, split.speech)

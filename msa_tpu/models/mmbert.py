@@ -223,6 +223,7 @@ def mmbert_forward(
     use_flash: str = "auto",
     remat: bool = False,
     mlm_scores: bool = True,
+    fuse_text_pass: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Three-view forward.  Returns every head output needed by the loss.
 
@@ -230,6 +231,12 @@ def mmbert_forward(
     tensors ("mlm_text"/"mlm_joint"); the loss then computes the MLM CE in
     a rematerialized fused pass from the returned sequence outputs --
     essential for HBM at bert-large scale.
+
+    ``fuse_text_pass=True`` zero-pads the text view to 2L and stacks all
+    THREE views into one [3B, 2L] encoder call (instead of [B, L] +
+    [2B, 2L]).  ~20% more padded tokens, but one large matmul shape per
+    layer -- a net win in the small-batch overhead-bound regime.  Numerics
+    are identical (padding is attention-masked).
     """
     bert = params["bert"]
     bcfg = cfg.bert
@@ -240,18 +247,11 @@ def mmbert_forward(
     else:
         keys = [None] * 7
 
-    # ---- pass 1: text-only [B, L] ----
+    l = text_ids.shape[1]
+    # token_type_ids forced to zero in joint passes (ref line 223).
     emb_t = bert_embeddings(bert, text_ids, token_type_ids, bcfg,
                             deterministic=deterministic, rng=keys[0],
                             compute_dtype=compute_dtype)
-    bias_t = extended_attention_mask(text_mask)
-    seq_t = bert_encoder(bert, emb_t, bias_t, bcfg,
-                         deterministic=deterministic, rng=keys[1],
-                         use_flash=use_flash, remat=remat)
-    pooled_t = bert_pooler(bert, seq_t)
-
-    # ---- pass 2: both joint views stacked into [2B, 2L] ----
-    # token_type_ids forced to zero in joint passes (ref line 223).
     emb_tv = bert_embeddings(bert, tv_ids, None, bcfg,
                              deterministic=deterministic, rng=keys[2],
                              compute_dtype=compute_dtype)
@@ -262,17 +262,39 @@ def mmbert_forward(
                           deterministic=deterministic, rng=keys[4])
     joint_s = joint_embed(params, emb_ts, speech, "Ws", cfg,
                           deterministic=deterministic, rng=keys[5])
-    joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
 
     mask_v = jnp.concatenate([text_mask, pair_frame_mask(visual)], axis=1)
     mask_s = jnp.concatenate([text_mask, pair_frame_mask(speech)], axis=1)
-    bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
 
-    seq_j = bert_encoder(bert, joint_x, bias_j, bcfg,
-                         deterministic=deterministic, rng=keys[6],
-                         use_flash=use_flash, remat=remat)
-    pooled_j = bert_pooler(bert, seq_j)
-    pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
+    if fuse_text_pass:
+        # ---- ONE encoder call over [3B, 2L] ----
+        emb_t_pad = jnp.pad(emb_t, ((0, 0), (0, l), (0, 0)))
+        mask_t_pad = jnp.pad(text_mask, ((0, 0), (0, l)))
+        x_all = jnp.concatenate([emb_t_pad, joint_v, joint_s], axis=0)
+        bias_all = extended_attention_mask(
+            jnp.concatenate([mask_t_pad, mask_v, mask_s], axis=0))
+        seq_all = bert_encoder(bert, x_all, bias_all, bcfg,
+                               deterministic=deterministic, rng=keys[6],
+                               use_flash=use_flash, remat=remat)
+        pooled_all = bert_pooler(bert, seq_all)
+        seq_t = seq_all[:b, :l]
+        seq_j = seq_all[b:]
+        pooled_t = pooled_all[:b]
+        pooled_v, pooled_s = pooled_all[b : 2 * b], pooled_all[2 * b :]
+    else:
+        # ---- pass 1: text-only [B, L]; pass 2: joint views [2B, 2L] ----
+        bias_t = extended_attention_mask(text_mask)
+        seq_t = bert_encoder(bert, emb_t, bias_t, bcfg,
+                             deterministic=deterministic, rng=keys[1],
+                             use_flash=use_flash, remat=remat)
+        pooled_t = bert_pooler(bert, seq_t)
+        joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
+        bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
+        seq_j = bert_encoder(bert, joint_x, bias_j, bcfg,
+                             deterministic=deterministic, rng=keys[6],
+                             use_flash=use_flash, remat=remat)
+        pooled_j = bert_pooler(bert, seq_j)
+        pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
 
     # ---- heads ----
     align = dense(seq_j[:, 0], params["cls"]["align"]).astype(jnp.float32)

@@ -174,6 +174,7 @@ class Trainer:
                     deterministic=False, rng=k_drop,
                     compute_dtype=compute_dtype, use_flash=use_flash,
                     remat=tc.remat, mlm_scores=False,
+                    fuse_text_pass=tc.fuse_text_pass,
                 )
                 losses = mmbert_loss(
                     params, out, t_lab, tv_lab, ts_lab,
@@ -220,6 +221,7 @@ class Trainer:
                 batch["visual"], batch["speech"], cfg,
                 deterministic=True, compute_dtype=compute_dtype,
                 use_flash=use_flash, mlm_scores=False,
+                fuse_text_pass=tc.fuse_text_pass,
             )
             losses = mmbert_loss(
                 params, out, t_lab, tv_lab, ts_lab,

@@ -1,0 +1,59 @@
+"""Predictor API: checkpoint -> batched serving, ragged batch handling."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from msa_tpu.configs import (
+    DataConfig, ExperimentConfig, MMBertConfig, TrainConfig, tiny_bert_config,
+)
+from msa_tpu.data.featurize import synthetic_split
+from msa_tpu.inference import Predictor
+from msa_tpu.models.mmbert import init_mmbert_params
+from msa_tpu.training.checkpoint import save_checkpoint
+from msa_tpu.training.optim import make_optimizer
+from msa_tpu.training.train_state import TrainState
+
+
+@pytest.fixture(scope="module")
+def exp():
+    bert = tiny_bert_config(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=120)
+    return ExperimentConfig(
+        model_name="tiny",
+        model=MMBertConfig(bert=bert, visual_dim=5, speech_dim=7, num_labels=1),
+        data=DataConfig(dataset="mosi", max_seq_length=12),
+        train=TrainConfig(compute_dtype="float32", data_parallel=1,
+                          use_flash_attention="never"),
+    )
+
+
+def test_predict_ragged_batch(exp):
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    pred = Predictor(exp, params, batch_size=4)
+    split = synthetic_split(10, 12, 5, 7, vocab_size=120, seed=0)
+    out = pred.predict_split(split)
+    assert out.shape == (10,)
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= 1.0).all()  # num_labels=1 -> tanh range
+
+    # padding must not affect results: same first 10 via larger batch size
+    pred2 = Predictor(exp, params, batch_size=16)
+    out2 = pred2.predict_split(split)
+    np.testing.assert_allclose(out, out2, atol=1e-5)
+
+
+def test_from_checkpoint_roundtrip(exp, tmp_path):
+    params = init_mmbert_params(jax.random.key(1), exp.model)
+    tx = make_optimizer(exp.train, 10)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jax.numpy.zeros((), jax.numpy.int32))
+    save_checkpoint(str(tmp_path), state, exp, epoch=3)
+
+    pred = Predictor.from_checkpoint(str(tmp_path), batch_size=4)
+    split = synthetic_split(6, 12, 5, 7, vocab_size=120, seed=1)
+    direct = Predictor(exp, params, batch_size=4).predict_split(split)
+    loaded = pred.predict_split(split)
+    np.testing.assert_allclose(direct, loaded, atol=1e-6)

@@ -94,6 +94,28 @@ def test_remat_forward_matches(setup):
                                atol=1e-6)
 
 
+def test_fuse_text_pass_matches_separate(setup):
+    """One [3B, 2L] encoder call == [B, L] + [2B, 2L] (padding masked)."""
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    # exercise real padding: knock out the tail of some sequences
+    mask = mask.at[1, 8:].set(0)
+    mask = mask.at[3, 5:].set(0)
+    a = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                       CFG, mlm_scores=False, fuse_text_pass=False)
+    b = mmbert_forward(params, m_ids, mask, m_ids, m_ids, visual, speech,
+                       CFG, mlm_scores=False, fuse_text_pass=True)
+    np.testing.assert_allclose(np.asarray(a["logits"]), np.asarray(b["logits"]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(a["pooled_text"]),
+                               np.asarray(b["pooled_text"]), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(a["align_visual"]),
+                               np.asarray(b["align_visual"]), atol=2e-5, rtol=2e-5)
+    # real (non-padding) positions of the text sequence output match
+    m = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(a["seq_text"])[m],
+                               np.asarray(b["seq_text"])[m], atol=2e-5, rtol=2e-5)
+
+
 def test_pair_frame_mask_semantics():
     from msa_tpu.models.mmbert import pair_frame_mask
     f = np.zeros((2, 4, 3), np.float32)

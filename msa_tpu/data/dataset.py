@@ -110,3 +110,37 @@ class MultimodalDataset:
     def num_batches(self, batch_size: int, drop_last: bool = False) -> int:
         n = len(self.split)
         return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run the batch assembly in a background thread, ``depth`` ahead.
+
+    The device step and the next batch's numpy slicing then overlap (the
+    reference's DataLoader(num_workers=0) assembled batches inline on the
+    hot path, trainer.py:28-31).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -66,3 +66,56 @@ def load_config(directory: str) -> Optional[ExperimentConfig]:
         return None
     with open(path) as f:
         return ExperimentConfig.from_json(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (sharded, async-capable) -- the production-scale path.
+# msgpack above host-gathers the full state (fine at bert-large, 1 host);
+# orbax writes each shard from its owner, which is what multi-host needs.
+# ---------------------------------------------------------------------------
+
+ORBAX_SUBDIR = "orbax"
+
+
+def save_checkpoint_sharded(
+    directory: str,
+    state: TrainState,
+    config: Optional[ExperimentConfig] = None,
+    epoch: int = 0,
+) -> str:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, ORBAX_SUBDIR)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    meta = {"epoch": int(epoch), "step": int(jax.device_get(state.step)),
+            "format": "orbax"}
+    with open(os.path.join(directory, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    if config is not None:
+        with open(os.path.join(directory, CONFIG_FILE), "w") as f:
+            f.write(config.to_json())
+    return directory
+
+
+def load_checkpoint_sharded(directory: str, template: TrainState
+                            ) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore with the TEMPLATE's shardings (resharding on restore is how
+    you change mesh shape between runs)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    path = os.path.join(directory, ORBAX_SUBDIR)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+        jax.tree.map(lambda x: x, template))
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, abstract)
+    meta_path = os.path.join(directory, META_FILE)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta

@@ -248,8 +248,10 @@ class Trainer:
         em = EpochMetrics()
         profiling = tc.profile_dir is not None and epoch == 0
         t0 = time.perf_counter()
-        for i, batch in enumerate(dataset.epoch_batches(
-                epoch, tc.train_batch_size, shuffle=True, force_aligned=False)):
+        from ..data.dataset import prefetch
+        batches = prefetch(dataset.epoch_batches(
+            epoch, tc.train_batch_size, shuffle=True, force_aligned=False))
+        for i, batch in enumerate(batches):
             if profiling and i == tc.profile_start:
                 jax.profiler.start_trace(tc.profile_dir)
             with jax.profiler.StepTraceAnnotation("train", step_num=i):

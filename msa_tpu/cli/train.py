@@ -149,15 +149,19 @@ def main(argv=None):
         pretrained = load_torch_checkpoint(args.pretrained)
 
     state = trainer.init_state(jax.random.key(args.seed), total_steps, pretrained)
+    start_epoch = 0
     if args.resume:
         from ..training.checkpoint import load_checkpoint
         state, meta = load_checkpoint(args.resume, state)
-        logger.info("Resumed from %s at step %s", args.resume, meta.get("step"))
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info("Resumed from %s at step %s (epoch %d)", args.resume,
+                    meta.get("step"), start_epoch)
 
     ckpt_dir = make_date_dir(args.checkpoint_root)
     logger.info("Model save path: %s", ckpt_dir)
     state, result = trainer.fit(state, train_ds, val_ds, test_ds, logger,
-                                checkpoint_dir=ckpt_dir)
+                                checkpoint_dir=ckpt_dir,
+                                start_epoch=start_epoch)
 
     if result.best_preds is not None:
         np_dir = make_date_dir(args.numpy_root)

@@ -300,6 +300,7 @@ class Trainer:
         logger=None,
         checkpoint_dir: Optional[str] = None,
         rng: Optional[jax.Array] = None,
+        start_epoch: int = 0,
     ) -> Tuple[TrainState, FitResult]:
         tc = self.config.train
         log = logger.info if logger else (lambda *a: print(a[0] % tuple(a[1:]) if a[1:] else a[0]))
@@ -308,7 +309,7 @@ class Trainer:
 
         result = FitResult()
         patience = 0
-        for epoch in range(tc.n_epochs):
+        for epoch in range(start_epoch, tc.n_epochs):
             patience += 1
             state, tm = self.train_epoch(state, train_ds, epoch, rng)
             t = tm.averaged()

@@ -15,9 +15,6 @@ import pickle
 import sys
 
 import jax
-import numpy as np
-
-from ..configs import MODALITY_DIMS
 from ..data.dataset import MultimodalDataset
 from ..data.featurize import featurize, synthetic_split
 from ..data.wordpiece import Tokenizer

@@ -28,7 +28,7 @@ def parse_grid(spec: str):
 
 
 def main(argv=None):
-    from .train import build_parser, main as train_main
+    from .train import main as train_main
 
     p = argparse.ArgumentParser(description=__doc__, add_help=False)
     p.add_argument("--alphas", type=str, default="0.1:1.0:10")

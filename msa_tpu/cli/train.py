@@ -23,7 +23,6 @@ from ..configs import MODALITY_DIMS, build_experiment
 from ..data.dataset import MultimodalDataset
 from ..data.featurize import featurize, synthetic_split
 from ..data.wordpiece import Tokenizer
-from ..ops import masking
 from ..training.trainer import Trainer
 from ..utils.logging import get_logger, make_date_dir
 

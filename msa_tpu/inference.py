@@ -9,7 +9,6 @@ the padding is dropped from the outputs).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +16,7 @@ import numpy as np
 
 from .configs import ExperimentConfig
 from .data.featurize import FeaturizedSplit
-from .models.mmbert import init_mmbert_params, mmbert_forward, mmbert_loss
+from .models.mmbert import init_mmbert_params, mmbert_forward
 from .parallel.mesh import make_mesh
 from .parallel.sharding import param_shardings
 from .training.checkpoint import load_checkpoint, load_config

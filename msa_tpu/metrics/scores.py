@@ -17,7 +17,7 @@ byte-for-byte.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

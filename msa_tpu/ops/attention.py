@@ -25,7 +25,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 _FLASH_MIN_SEQ = 256  # below this, one fused XLA softmax wins at BERT sizes

@@ -16,12 +16,9 @@ these shapes) via custom_vjp, mirroring ops/attention.py's approach.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _platform() -> str:

@@ -184,8 +184,13 @@ class TrainConfig:
     # 'threefry2x32' on TPU for the per-step dropout/masking draws.
     prng_impl: str = "rbg"
     # One [3B, 2L] encoder call per step instead of [B, L] + [2B, 2L]
-    # (see mmbert_forward.fuse_text_pass).
-    fuse_text_pass: bool = True
+    # (see mmbert_forward.fuse_text_pass).  Measured on v5e at B=32/L=40:
+    # the +20% padded tokens cost more than the saved launches -> off.
+    fuse_text_pass: bool = False
+    # lax.scan unroll factor over encoder layers (compile time vs schedule).
+    scan_unroll: int = 1
+    # remat policy: 'full' (recompute all) or 'dots' (save matmul outputs).
+    remat_policy: str = "full"
     # Write a jax profiler trace of train steps [profile_start, profile_stop)
     # of epoch 0 into this directory (None = off).  Ref has no tracing at all
     # (SURVEY.md section 5.1).

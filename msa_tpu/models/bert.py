@@ -155,6 +155,8 @@ def bert_encoder(
     rng: Optional[jax.Array] = None,
     use_flash: str = "auto",
     remat: bool = False,
+    unroll: int = 1,
+    remat_policy: str = "full",
 ) -> jnp.ndarray:
     """Run all transformer layers via one lax.scan.
 
@@ -209,8 +211,14 @@ def bert_encoder(
         return h, None
 
     if remat:
-        one_layer = jax.checkpoint(one_layer)
-    hidden, _ = jax.lax.scan(one_layer, hidden, (layers, layer_keys))
+        # 'full': recompute everything in backward (min HBM).
+        # 'dots': keep matmul outputs, recompute elementwise/softmax only --
+        # less recompute if it still fits HBM.
+        policy = (jax.checkpoint_policies.checkpoint_dots
+                  if remat_policy == "dots" else None)
+        one_layer = jax.checkpoint(one_layer, policy=policy)
+    hidden, _ = jax.lax.scan(one_layer, hidden, (layers, layer_keys),
+                             unroll=unroll)
     return hidden
 
 

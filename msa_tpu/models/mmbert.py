@@ -224,6 +224,8 @@ def mmbert_forward(
     remat: bool = False,
     mlm_scores: bool = True,
     fuse_text_pass: bool = False,
+    unroll: int = 1,
+    remat_policy: str = "full",
 ) -> Dict[str, jnp.ndarray]:
     """Three-view forward.  Returns every head output needed by the loss.
 
@@ -275,7 +277,8 @@ def mmbert_forward(
             jnp.concatenate([mask_t_pad, mask_v, mask_s], axis=0))
         seq_all = bert_encoder(bert, x_all, bias_all, bcfg,
                                deterministic=deterministic, rng=keys[6],
-                               use_flash=use_flash, remat=remat)
+                               use_flash=use_flash, remat=remat, unroll=unroll,
+                               remat_policy=remat_policy)
         pooled_all = bert_pooler(bert, seq_all)
         seq_t = seq_all[:b, :l]
         seq_j = seq_all[b:]
@@ -286,13 +289,15 @@ def mmbert_forward(
         bias_t = extended_attention_mask(text_mask)
         seq_t = bert_encoder(bert, emb_t, bias_t, bcfg,
                              deterministic=deterministic, rng=keys[1],
-                             use_flash=use_flash, remat=remat)
+                             use_flash=use_flash, remat=remat, unroll=unroll,
+                               remat_policy=remat_policy)
         pooled_t = bert_pooler(bert, seq_t)
         joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
         bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
         seq_j = bert_encoder(bert, joint_x, bias_j, bcfg,
                              deterministic=deterministic, rng=keys[6],
-                             use_flash=use_flash, remat=remat)
+                             use_flash=use_flash, remat=remat, unroll=unroll,
+                               remat_policy=remat_policy)
         pooled_j = bert_pooler(bert, seq_j)
         pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
 

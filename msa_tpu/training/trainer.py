@@ -175,6 +175,8 @@ class Trainer:
                     compute_dtype=compute_dtype, use_flash=use_flash,
                     remat=tc.remat, mlm_scores=False,
                     fuse_text_pass=tc.fuse_text_pass,
+                    unroll=tc.scan_unroll,
+                    remat_policy=tc.remat_policy,
                 )
                 losses = mmbert_loss(
                     params, out, t_lab, tv_lab, ts_lab,
@@ -222,6 +224,7 @@ class Trainer:
                 deterministic=True, compute_dtype=compute_dtype,
                 use_flash=use_flash, mlm_scores=False,
                 fuse_text_pass=tc.fuse_text_pass,
+                unroll=tc.scan_unroll,
             )
             losses = mmbert_loss(
                 params, out, t_lab, tv_lab, ts_lab,

@@ -125,6 +125,25 @@ def test_pair_frame_mask_semantics():
     assert m.tolist() == [[1, 0, 0, 0], [0, 0, 1, 0]]
 
 
+def test_mosei_six_class_emotion_head(setup):
+    """num_labels=6 (MOSEI emotion argmax mode): CE over 6 classes."""
+    import dataclasses
+    cfg6 = dataclasses.replace(CFG, num_labels=6)
+    from msa_tpu.models.mmbert import init_mmbert_params as init6
+    params6 = init6(jax.random.key(3), cfg6)
+    assert params6["fusion"]["classifier2"]["kernel"].shape[-1] == 6
+    _, ids, m_ids, labels, mask, visual, speech = setup
+    out = mmbert_forward(params6, m_ids, mask, m_ids, m_ids, visual, speech,
+                         cfg6, mlm_scores=False)
+    ap = jnp.array([1, 0, 1, 1])
+    target = jnp.array([0, 5, 2, 3], jnp.int32)
+    l = mmbert_loss(params6, out, labels, labels, labels, ap, ap, target, cfg6)
+    assert np.isfinite(float(l["loss"]))
+    preds = np.asarray(l["predictions"])
+    assert preds.shape == (4,)
+    assert set(preds).issubset(set(range(6)))
+
+
 def test_num_labels_7_uses_raw_logits(setup):
     """num_labels=7 regression: no tanh squash (ref applies tanh only for 1)."""
     import dataclasses

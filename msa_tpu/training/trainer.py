@@ -276,17 +276,23 @@ class Trainer:
             self._eval_step = self._build_eval_step()
         tc = self.config.train
         em = EpochMetrics()
-        preds: List[np.ndarray] = []
+        device_losses: List[Dict[str, jnp.ndarray]] = []
+        masks: List[np.ndarray] = []
         labels: List[np.ndarray] = []
         t0 = time.perf_counter()
         for batch in dataset.epoch_batches(epoch, batch_size, shuffle=False,
                                            force_aligned=not tc.eval_random_pairs):
             w = batch["weight"] > 0
             sb = self._shard_batch(batch)
-            losses = jax.device_get(self._eval_step(state.params, sb, rng))
+            # keep results on device; one transfer at epoch end
+            device_losses.append(self._eval_step(state.params, sb, rng))
+            masks.append(w)
+            labels.append(batch["target"][w])
+        host = jax.device_get(device_losses)
+        preds: List[np.ndarray] = []
+        for losses, w in zip(host, masks):
             em.update(losses, int(w.sum()))
             preds.append(np.asarray(losses["predictions"]).reshape(len(w), -1)[w])
-            labels.append(batch["target"][w])
         em.seconds = time.perf_counter() - t0
         return em, np.concatenate(preds), np.concatenate(labels)
 

@@ -94,3 +94,20 @@ def test_train_sample_score_pipeline(workdir, vocab_file, data_pkl, monkeypatch)
     report = score_main(["--path", runs[-1],
                          "--numpy_root", str(workdir / "numpy_save")])
     assert "mae" in report and np.isfinite(report["mae"])
+
+
+def test_train_cli_ur_funny_synthetic(workdir, monkeypatch):
+    """UR_FUNNY dims (371/81) + binary classification through the CLI."""
+    from msa_tpu.cli.train import main as train_main
+    monkeypatch.chdir(workdir)
+    result = train_main([
+        "--platform", "cpu", "--dataset", "ur_funny", "--num_labels", "2",
+        "--emotion", "humor", "--model", "tiny", "--synthetic", "16",
+        "--n_epochs", "1", "--train_batch_size", "8", "--val_batch_size", "8",
+        "--test_batch_size", "8", "--compute_dtype", "float32", "--dp", "1",
+        "--max_seq_length", "16",
+        "--checkpoint_root", str(workdir / "ms2"),
+        "--numpy_root", str(workdir / "np2"),
+    ])
+    assert len(result.history) == 1
+    assert set(np.unique(result.best_preds)).issubset({0, 1})

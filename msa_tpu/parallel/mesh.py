@@ -41,6 +41,34 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(
+    dcn_data_parallel: int,
+    ici_data_parallel: int = -1,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Multi-slice mesh: pure data parallelism over DCN (slow, between
+    slices), data x model over ICI (fast, within a slice).
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` so collectives that ride
+    the ``model``/inner-``data`` axes stay on ICI and only the gradient
+    psum's outer reduction crosses DCN (the SURVEY.md section 5.8 seam).
+    The outer DCN axis is folded into DATA_AXIS: callers see the same
+    (data, model) axis names as :func:`make_mesh`.
+    """
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    per_slice = n // dcn_data_parallel
+    if ici_data_parallel == -1:
+        ici_data_parallel = per_slice // model_parallel
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_data_parallel, model_parallel),
+        dcn_mesh_shape=(dcn_data_parallel, 1),
+    )
+    grid = devices.reshape(dcn_data_parallel * ici_data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis batch sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -240,6 +240,18 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        # Batch-sharding requires the leading dim divisible by the data-axis
+        # size (e.g. the reference's val_batch_size=4 on an 8-chip mesh);
+        # zero-pad -- padded rows carry weight 0 so every loss ignores them.
+        dp = self.mesh.shape[DATA_AXIS]
+        b = batch["weight"].shape[0]
+        pad = (-b) % dp
+        if pad:
+            batch = {
+                k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+                for k, v in batch.items()
+            }
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
@@ -292,7 +304,9 @@ class Trainer:
         preds: List[np.ndarray] = []
         for losses, w in zip(host, masks):
             em.update(losses, int(w.sum()))
-            preds.append(np.asarray(losses["predictions"]).reshape(len(w), -1)[w])
+            p = np.asarray(losses["predictions"])
+            # _shard_batch may have padded the batch to the mesh multiple
+            preds.append(p.reshape(p.shape[0], -1)[: len(w)][w])
         em.seconds = time.perf_counter() - t0
         return em, np.concatenate(preds), np.concatenate(labels)
 

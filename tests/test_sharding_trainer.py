@@ -118,6 +118,17 @@ def test_fit_loop_and_early_artifacts(tmp_path):
     assert result.best_preds.shape[0] == 12  # padding rows excluded
 
 
+def test_indivisible_eval_batch_on_8way_mesh():
+    """val_batch_size=4 on an 8-way data mesh: _shard_batch zero-pads."""
+    exp = tiny_experiment(data_parallel=8, val_batch_size=4)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    state = trainer.init_state(jax.random.key(0), 10)
+    _, val_ds, _ = make_datasets()
+    em, preds, labels = trainer.eval_epoch(state, val_ds, 0, jax.random.key(1), 4)
+    assert preds.shape[0] == 12  # all real examples, no padding leaked
+    assert np.isfinite(em.loss)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     exp = tiny_experiment()
     trainer = Trainer(exp, **TINY_MASK_ARGS)

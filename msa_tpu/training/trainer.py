@@ -266,18 +266,24 @@ class Trainer:
         from ..data.dataset import prefetch
         batches = prefetch(dataset.epoch_batches(
             epoch, tc.train_batch_size, shuffle=True, force_aligned=False))
+        device_metrics: List[Dict[str, jnp.ndarray]] = []
+        i = -1
         for i, batch in enumerate(batches):
             if profiling and i == tc.profile_start:
                 jax.profiler.start_trace(tc.profile_dir)
             with jax.profiler.StepTraceAnnotation("train", step_num=i):
                 sb = self._shard_batch(batch)
                 state, metrics = self._train_step(state, sb, rng)
-            em.update(jax.device_get(metrics), tc.train_batch_size)
+            # keep metric scalars on device: a per-step device_get would
+            # sync the pipeline every step (expensive on remote platforms)
+            device_metrics.append(metrics)
             if profiling and i + 1 == tc.profile_stop:
                 jax.profiler.stop_trace()
                 profiling = False
         if profiling and tc.profile_start <= i:  # epoch shorter than window
             jax.profiler.stop_trace()
+        for m in jax.device_get(device_metrics):
+            em.update(m, tc.train_batch_size)
         em.seconds = time.perf_counter() - t0
         return state, em
 

@@ -236,9 +236,10 @@ def mmbert_forward(
 
     ``fuse_text_pass=True`` zero-pads the text view to 2L and stacks all
     THREE views into one [3B, 2L] encoder call (instead of [B, L] +
-    [2B, 2L]).  ~20% more padded tokens, but one large matmul shape per
-    layer -- a net win in the small-batch overhead-bound regime.  Numerics
-    are identical (padding is attention-masked).
+    [2B, 2L]).  Numerics are identical (padding is attention-masked), but
+    the +20% padded tokens measured SLOWER on v5e at B=32/L=40 (BENCH.md
+    ablations) -- the step is matmul-throughput-bound, not launch-bound --
+    so it defaults off; kept for regimes where launch overhead dominates.
     """
     bert = params["bert"]
     bcfg = cfg.bert

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e9
-_FLASH_MIN_SEQ = 256  # below this, one fused XLA softmax wins at BERT sizes
+# Below this, XLA's fused attention wins on v5e (measured: XLA faster at
+# S<=512, parity-to-faster for flash at S>=1024; flash additionally never
+# materializes the [B,N,S,S] buffer, which is what matters at scale).
+_FLASH_MIN_SEQ = 1024
 
 
 def _platform() -> str:
@@ -73,7 +76,8 @@ def _xla_attention(
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int, scale: float):
     """One (batch, head, q-block) program: online softmax over key blocks.
 
-    Block shapes: q_ref [1,1,BQ,D]; k_ref/v_ref [1,1,S,D]; bias_ref [1,S];
+    Block shapes: q_ref [1,1,BQ,D]; k_ref/v_ref [1,1,S,D]; bias_ref [1,1,S]
+    (the singleton keeps the trailing two block dims TPU-tileable);
     o_ref [1,1,BQ,D].
     """
     q = q_ref[0, 0].astype(jnp.float32) * scale
@@ -86,7 +90,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int, scale:
         start = i * kv_block
         kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
         vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
-        b = bias_ref[0, pl.ds(start, kv_block)].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
         s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) + b[None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -127,7 +131,7 @@ def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block):
     kp = pad_seq(k, sk)
     vp = pad_seq(v, sk)
     bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
-                   constant_values=NEG_INF)
+                   constant_values=NEG_INF)[:, None, :]  # [B, 1, Sk]
 
     grid = (b, n, sq // q_block)
     out = pl.pallas_call(
@@ -138,7 +142,7 @@ def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block):
             pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
-            pl.BlockSpec((1, sk), lambda i, j, r: (i, 0)),
+            pl.BlockSpec((1, 1, sk), lambda i, j, r: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
         interpret=interpret,

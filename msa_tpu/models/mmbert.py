@@ -389,6 +389,7 @@ def mmbert_loss(
     labels_v = jnp.concatenate([mlm_labels_tv, ignore], axis=1)
     labels_s = jnp.concatenate([mlm_labels_ts, ignore], axis=1)
 
+    mlm_overflow = jnp.zeros((), jnp.int32)
     if "mlm_text" in outputs:
         text_mlm = L.cross_entropy(outputs["mlm_text"], mlm_labels_text, weights)
         visual_mlm = L.cross_entropy(outputs["mlm_joint"][:b], labels_v, weights)
@@ -401,6 +402,11 @@ def mmbert_loss(
                                    weights, cfg, cap)
         visual_mlm = gathered_mlm_ce(params, seq_j[:b], labels_v, weights, cfg, cap)
         speech_mlm = gathered_mlm_ce(params, seq_j[b:], labels_s, weights, cfg, cap)
+        # No silent caps: report positions dropped by the gather (0 in any
+        # sane configuration; nonzero means cap needs raising).
+        for lab in (mlm_labels_text, labels_v, labels_s):
+            n_masked = jnp.sum(lab != L.IGNORE_INDEX).astype(jnp.int32)
+            mlm_overflow = mlm_overflow + jnp.maximum(n_masked - cap, 0)
     mlm = (text_mlm + visual_mlm + speech_mlm) / 3.0
 
     visual_ap = L.cross_entropy(outputs["align_visual"], ap_visual, weights)
@@ -429,5 +435,6 @@ def mmbert_loss(
         "ap_loss": ap,
         "label_loss": label_loss,
         "nce": nce,
+        "mlm_overflow": mlm_overflow,
         "predictions": pred_out,
     }

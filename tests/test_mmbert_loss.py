@@ -68,6 +68,8 @@ def test_loss_paths_agree(setup):
     l_fused = mmbert_loss(params, out_fused, *args)
     for k in ("loss", "mlm_loss", "ap_loss", "label_loss", "nce"):
         assert float(l_fused[k]) == pytest.approx(float(l_dense[k]), rel=1e-4), k
+    # gather cap must not drop positions at normal masking rates
+    assert int(l_fused["mlm_overflow"]) == 0
 
 
 def test_joint_loss_assembly(setup):

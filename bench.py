@@ -76,6 +76,17 @@ def main():
     per_chip = samples_per_sec / n_chips
     mfu = trainer.mfu(samples_per_sec)
 
+    # eval/serving throughput (deterministic forward, no grad)
+    eval_step = trainer._build_eval_step()
+    erng = trainer.rng(2)
+    losses = eval_step(state.params, sharded[0], erng)
+    float(jax.device_get(losses["loss"]))
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        losses = eval_step(state.params, sharded[i % len(sharded)], erng)
+    float(jax.device_get(losses["loss"]))
+    eval_sps = args.steps * args.batch_size / (time.perf_counter() - t0)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "torch_baseline.json")
     vs_baseline = None
@@ -96,6 +107,7 @@ def main():
             "chips": n_chips,
             "step_ms": round(1000 * dt / args.steps, 2),
             "mfu": round(mfu, 4),
+            "eval_samples_per_sec": round(eval_sps, 1),
             "loss": float(jax.device_get(metrics["loss"])),
             "compute_dtype": args.compute_dtype,
             "device": str(jax.devices()[0]),

@@ -73,12 +73,14 @@ def _xla_attention(
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                  *, kv_block: int, scale: float):
     """One (batch, head, q-block) program: online softmax over key blocks.
 
     Block shapes: q_ref [1,1,BQ,D]; k_ref/v_ref [1,1,S,D]; bias_ref [1,1,S]
     (the singleton keeps the trailing two block dims TPU-tileable);
-    o_ref [1,1,BQ,D].
+    o_ref [1,1,BQ,D]; lse_ref [1,1,1,BQ] (row logsumexp, consumed by the
+    backward kernels).
     """
     q = q_ref[0, 0].astype(jnp.float32) * scale
     bq, d = q.shape
@@ -102,8 +104,71 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int, scale:
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = (m[:, 0] + jnp.log(l_safe[:, 0])).astype(jnp.float32)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
+                     dq_ref, *, kv_block: int, scale: float):
+    """dQ for one (batch, head, q-block): recompute P from saved logsumexp.
+
+    dS = P * (dO V^T - rowsum(dO*O));  dQ = scale * dS K.
+    """
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0].astype(jnp.float32)[:, None]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    bq, d = q.shape
+    num_kb = k_ref.shape[2] // kv_block
+
+    def body(i, dq):
+        start = i * kv_block
+        kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
+        s = jnp.dot(q * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
+                      dk_ref, dv_ref, *, q_block: int, scale: float):
+    """dK/dV for one (batch, head, k-block): loop over q blocks."""
+    kb = k_ref[0, 0].astype(jnp.float32)
+    vb = v_ref[0, 0].astype(jnp.float32)
+    b = bias_ref[0, 0].astype(jnp.float32)
+    bk, d = kb.shape
+    num_qb = q_ref.shape[2] // q_block
+
+    def body(i, carry):
+        dk, dv = carry
+        start = i * q_block
+        qb = q_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
+        dob = do_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
+        ob = o_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, pl.ds(start, q_block)].astype(jnp.float32)[:, None]
+        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
+        p = jnp.exp(s - lse)                      # [BQ, BK]
+        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
+        delta = jnp.sum(dob * ob, axis=-1, keepdims=True)
+        dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,28 +180,35 @@ def _flash_attention(q, k, v, key_bias, q_block=128, kv_block=128):
     return _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block)
 
 
-def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block):
+def _pad_seq(x, target):
+    if x.shape[2] == target:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
+
+
+def _flash_padded_inputs(q, k, v, key_bias, q_block, kv_block):
+    s = q.shape[2]
+    sq = _round_up(s, q_block)
+    sk = _round_up(s, kv_block)
+    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
+                   constant_values=NEG_INF)[:, None, :]  # [B, 1, Sk]
+    return _pad_seq(q, sq), _pad_seq(k, sk), _pad_seq(v, sk), bias, sq, sk
+
+
+def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
+                            with_lse=False):
     interpret = _platform() != "tpu"
     b, n, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    sq = _round_up(s, q_block)
-    sk = _round_up(s, kv_block)
-
-    def pad_seq(x, target):
-        if x.shape[2] == target:
-            return x
-        return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
-
-    qp = pad_seq(q, sq)
-    kp = pad_seq(k, sk)
-    vp = pad_seq(v, sk)
-    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
-                   constant_values=NEG_INF)[:, None, :]  # [B, 1, Sk]
-
+    qp, kp, vp, bias, sq, sk = _flash_padded_inputs(q, k, v, key_bias,
+                                                    q_block, kv_block)
     grid = (b, n, sq // q_block)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, kv_block=kv_block, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, 1, sq), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
@@ -144,33 +216,80 @@ def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block):
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, sk), lambda i, j, r: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, 1, q_block), lambda i, j, r: (i, j, 0, r)),
+        ),
         interpret=interpret,
     )(qp, kp, vp, bias)
+    if with_lse:
+        return out[:, :, :s, :], lse
     return out[:, :, :s, :]
 
 
 def _flash_fwd(q, k, v, key_bias, q_block, kv_block):
-    out = _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block)
-    return out, (q, k, v, key_bias)
+    out, lse = _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
+                                       with_lse=True)
+    return out, (q, k, v, key_bias, out, lse)
 
 
 def _flash_bwd(q_block, kv_block, residuals, g):
-    # Recompute-with-XLA backward: exact gradients, trivially correct.
-    q, k, v, key_bias = residuals
+    """Blockwise Pallas backward: P recomputed from the saved logsumexp;
+    never materializes [B, N, S, S].  ``key_bias`` is a non-trainable
+    padding mask, so its gradient is defined as zeros.
+    """
+    q, k, v, key_bias, out, lse = residuals
+    interpret = _platform() != "tpu"
+    b, n, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    qp, kp, vp, bias, sq, sk = _flash_padded_inputs(q, k, v, key_bias,
+                                                    q_block, kv_block)
+    dop = _pad_seq(g, sq)
+    op = _pad_seq(out, sq)
+    # lse already has padded length sq.
 
-    def ref_attn(q, k, v, key_bias):
-        scale = 1.0 / math.sqrt(q.shape[-1])
-        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        scores = scores + key_bias.astype(jnp.float32)[:, None, None, :]
-        probs = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("bnqk,bnkd->bnqd", probs.astype(q.dtype), v,
-                          preferred_element_type=q.dtype)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, kv_block=kv_block, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+        grid=(b, n, sq // q_block),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, sk), lambda i, j, r: (i, 0, 0)),
+            pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, 1, q_block), lambda i, j, r: (i, j, 0, r)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
+        interpret=interpret,
+    )(qp, kp, vp, bias, dop, op, lse)
 
-    _, vjp = jax.vjp(ref_attn, q, k, v, key_bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, q_block=q_block, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, n, sk, d), v.dtype),
+        ),
+        grid=(b, n, sk // kv_block),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, kv_block), lambda i, j, r: (i, 0, r)),
+            pl.BlockSpec((1, 1, sq, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, sq, d), lambda i, j, r: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, sq), lambda i, j, r: (i, j, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
+            pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias, dop, op, lse)
+
+    dbias = jnp.zeros_like(key_bias)
+    return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :], dbias
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e9
@@ -73,23 +74,46 @@ def _xla_attention(
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                  *, kv_block: int, scale: float):
+def _keep_mask(seed_ref, tile_id: jnp.ndarray, shape, rate: float):
+    """Deterministic per-tile dropout keep-mask from the Pallas TPU PRNG.
+
+    Seeding with (base_seed, tile_id) makes the mask reproducible in the
+    backward kernels -- the whole point: no [B,N,S,S] mask is ever stored.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0], tile_id)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits >= threshold  # P(keep) = 1 - rate
+
+
+def _tile_id(i, j, r, kb, n_heads, n_qb, n_kb):
+    return ((i * n_heads + j) * n_qb + r) * n_kb + kb
+
+
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                  *, kv_block: int, scale: float, dropout_rate: float):
     """One (batch, head, q-block) program: online softmax over key blocks.
 
     Block shapes: q_ref [1,1,BQ,D]; k_ref/v_ref [1,1,S,D]; bias_ref [1,1,S]
     (the singleton keeps the trailing two block dims TPU-tileable);
     o_ref [1,1,BQ,D]; lse_ref [1,1,1,BQ] (row logsumexp, consumed by the
-    backward kernels).
+    backward kernels).  seed_ref [1] int32 in SMEM drives in-kernel
+    attention-probs dropout when dropout_rate > 0 (dropout applies AFTER
+    softmax normalization: l accumulates undropped p, acc accumulates
+    masked p, final out = acc / (l * (1 - rate)) -- torch semantics).
     """
     q = q_ref[0, 0].astype(jnp.float32) * scale
     bq, d = q.shape
     s_total = k_ref.shape[2]
     num_kb = s_total // kv_block
+    i, j, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_heads, n_qb = pl.num_programs(1), pl.num_programs(2)
 
-    def body(i, carry):
+    def body(kb_idx, carry):
         acc, m, l = carry
-        start = i * kv_block
+        start = kb_idx * kv_block
         kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
         vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
         b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
@@ -98,6 +122,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_id(i, j, r, kb_idx, n_heads, n_qb, num_kb),
+                              p.shape, dropout_rate)
+            p = jnp.where(keep, p, 0.0)
         acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
         return acc, m_new, l
 
@@ -106,15 +135,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l, 1e-30)
+    if dropout_rate > 0.0:
+        acc = acc / (1.0 - dropout_rate)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0, 0] = (m[:, 0] + jnp.log(l_safe[:, 0])).astype(jnp.float32)
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
-                     dq_ref, *, kv_block: int, scale: float):
+def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                     lse_ref, dq_ref, *, kv_block: int, scale: float,
+                     dropout_rate: float):
     """dQ for one (batch, head, q-block): recompute P from saved logsumexp.
 
-    dS = P * (dO V^T - rowsum(dO*O));  dQ = scale * dS K.
+    dS = P * (M o dO V^T / (1-rate) - rowsum(dO*O));  dQ = scale * dS K.
+    The dropout mask M is regenerated from (seed, tile_id) -- identical to
+    the forward's by construction.
     """
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
@@ -123,15 +157,22 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
     delta = jnp.sum(do * o, axis=-1, keepdims=True)
     bq, d = q.shape
     num_kb = k_ref.shape[2] // kv_block
+    i, j, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_heads, n_qb = pl.num_programs(1), pl.num_programs(2)
 
-    def body(i, dq):
-        start = i * kv_block
+    def body(kb_idx, dq):
+        start = kb_idx * kv_block
         kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
         vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
         b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
         s = jnp.dot(q * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_id(i, j, r, kb_idx, n_heads, n_qb, num_kb),
+                              dp.shape, dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
         ds = p * (dp - delta)
         return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
 
@@ -139,27 +180,41 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
-                      dk_ref, dv_ref, *, q_block: int, scale: float):
+def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                      lse_ref, dk_ref, dv_ref, *, q_block: int, scale: float,
+                      dropout_rate: float):
     """dK/dV for one (batch, head, k-block): loop over q blocks."""
     kb = k_ref[0, 0].astype(jnp.float32)
     vb = v_ref[0, 0].astype(jnp.float32)
     b = bias_ref[0, 0].astype(jnp.float32)
     bk, d = kb.shape
     num_qb = q_ref.shape[2] // q_block
+    i, j, kb_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_heads = pl.num_programs(1)
+    num_kb = pl.num_programs(2)
 
-    def body(i, carry):
+    def body(qb_idx, carry):
         dk, dv = carry
-        start = i * q_block
+        start = qb_idx * q_block
         qb = q_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
         dob = do_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
         ob = o_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
         lse = lse_ref[0, 0, 0, pl.ds(start, q_block)].astype(jnp.float32)[:, None]
         s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
         p = jnp.exp(s - lse)                      # [BQ, BK]
-        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
         delta = jnp.sum(dob * ob, axis=-1, keepdims=True)
         dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_id(i, j, qb_idx, kb_idx, n_heads, num_qb,
+                                       num_kb),
+                              p.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            dv = dv + jnp.dot(jnp.where(keep, p, 0.0).T, dob,
+                              preferred_element_type=jnp.float32) * inv
+            dp = jnp.where(keep, dp, 0.0) * inv
+        else:
+            dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32) * scale
         return dk, dv
@@ -175,9 +230,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_attention(q, k, v, key_bias, q_block=128, kv_block=128):
-    return _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, key_bias, seed=None, q_block=128, kv_block=128,
+                     dropout_rate=0.0):
+    """seed: [1] int32 array driving in-kernel attention dropout (TPU only);
+    pass None / rate 0 for the deterministic path."""
+    return _flash_forward_dispatch(q, k, v, key_bias, seed, q_block, kv_block,
+                                   dropout_rate)
 
 
 def _pad_seq(x, target):
@@ -195,8 +254,16 @@ def _flash_padded_inputs(q, k, v, key_bias, q_block, kv_block):
     return _pad_seq(q, sq), _pad_seq(k, sk), _pad_seq(v, sk), bias, sq, sk
 
 
-def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
-                            with_lse=False):
+def _seed_arg(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return seed.astype(jnp.int32).reshape(1)
+
+
+def _flash_forward_dispatch(q, k, v, key_bias, seed, q_block, kv_block,
+                            dropout_rate, with_lse=False):
+    from jax.experimental.pallas import tpu as pltpu
+
     interpret = _platform() != "tpu"
     b, n, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -204,13 +271,15 @@ def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
                                                     q_block, kv_block)
     grid = (b, n, sq // q_block)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_block=kv_block, scale=scale),
+        functools.partial(_flash_kernel, kv_block=kv_block, scale=scale,
+                          dropout_rate=dropout_rate),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, n, 1, sq), jnp.float32),
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
@@ -221,24 +290,27 @@ def _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
             pl.BlockSpec((1, 1, 1, q_block), lambda i, j, r: (i, j, 0, r)),
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias)
+    )(_seed_arg(seed), qp, kp, vp, bias)
     if with_lse:
         return out[:, :, :s, :], lse
     return out[:, :, :s, :]
 
 
-def _flash_fwd(q, k, v, key_bias, q_block, kv_block):
-    out, lse = _flash_forward_dispatch(q, k, v, key_bias, q_block, kv_block,
-                                       with_lse=True)
-    return out, (q, k, v, key_bias, out, lse)
+def _flash_fwd(q, k, v, key_bias, seed, q_block, kv_block, dropout_rate):
+    out, lse = _flash_forward_dispatch(q, k, v, key_bias, seed, q_block,
+                                       kv_block, dropout_rate, with_lse=True)
+    return out, (q, k, v, key_bias, seed, out, lse)
 
 
-def _flash_bwd(q_block, kv_block, residuals, g):
+def _flash_bwd(q_block, kv_block, dropout_rate, residuals, g):
     """Blockwise Pallas backward: P recomputed from the saved logsumexp;
-    never materializes [B, N, S, S].  ``key_bias`` is a non-trainable
-    padding mask, so its gradient is defined as zeros.
+    never materializes [B, N, S, S].  The dropout mask is regenerated from
+    (seed, tile_id), bit-identical to the forward's.  ``key_bias`` is a
+    non-trainable padding mask, so its gradient is defined as zeros.
     """
-    q, k, v, key_bias, out, lse = residuals
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, key_bias, seed, out, lse = residuals
     interpret = _platform() != "tpu"
     b, n, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -247,12 +319,16 @@ def _flash_bwd(q_block, kv_block, residuals, g):
     dop = _pad_seq(g, sq)
     op = _pad_seq(out, sq)
     # lse already has padded length sq.
+    seed_a = _seed_arg(seed)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, kv_block=kv_block, scale=scale),
+        functools.partial(_flash_dq_kernel, kv_block=kv_block, scale=scale,
+                          dropout_rate=dropout_rate),
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         grid=(b, n, sq // q_block),
         in_specs=[
+            smem,
             pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda i, j, r: (i, j, 0, 0)),
@@ -263,16 +339,18 @@ def _flash_bwd(q_block, kv_block, residuals, g):
         ],
         out_specs=pl.BlockSpec((1, 1, q_block, d), lambda i, j, r: (i, j, r, 0)),
         interpret=interpret,
-    )(qp, kp, vp, bias, dop, op, lse)
+    )(seed_a, qp, kp, vp, bias, dop, op, lse)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, q_block=q_block, scale=scale),
+        functools.partial(_flash_dkv_kernel, q_block=q_block, scale=scale,
+                          dropout_rate=dropout_rate),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, sk, d), k.dtype),
             jax.ShapeDtypeStruct((b, n, sk, d), v.dtype),
         ),
         grid=(b, n, sk // kv_block),
         in_specs=[
+            smem,
             pl.BlockSpec((1, 1, sq, d), lambda i, j, r: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
             pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
@@ -286,10 +364,12 @@ def _flash_bwd(q_block, kv_block, residuals, g):
             pl.BlockSpec((1, 1, kv_block, d), lambda i, j, r: (i, j, r, 0)),
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias, dop, op, lse)
+    )(seed_a, qp, kp, vp, bias, dop, op, lse)
 
     dbias = jnp.zeros_like(key_bias)
-    return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :], dbias
+    dseed = (None if seed is None
+             else np.zeros(seed.shape, dtype=jax.dtypes.float0))
+    return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :], dbias, dseed
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -318,19 +398,30 @@ def multi_head_attention(
     kh = k.reshape(b, s, num_heads, d)
     vh = v.reshape(b, s, num_heads, d)
 
-    dropout_active = (not deterministic) and dropout_rate > 0.0
+    dropout_active = (not deterministic) and dropout_rate > 0.0 \
+        and dropout_rng is not None
+    on_tpu = _platform() == "tpu"
     if use_flash == "always":
         flash = True
     elif use_flash == "never":
         flash = False
     else:
-        flash = (not dropout_active) and _platform() == "tpu" and s >= _FLASH_MIN_SEQ
+        flash = on_tpu and s >= _FLASH_MIN_SEQ
+    if dropout_active and not on_tpu:
+        # in-kernel dropout needs the TPU PRNG (no interpret-mode support)
+        flash = False
 
-    if flash and not dropout_active:
+    if flash:
         key_bias = bias[:, 0, 0, :]  # [B, S]
+        if dropout_active:
+            seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            rate = float(dropout_rate)
+        else:
+            seed, rate = None, 0.0
         ctx = _flash_attention(
             qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
-            vh.transpose(0, 2, 1, 3), key_bias,
+            vh.transpose(0, 2, 1, 3), key_bias, seed, 128, 128, rate,
         )
         ctx = ctx.transpose(0, 2, 1, 3)
     else:

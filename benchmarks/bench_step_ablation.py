@@ -1,0 +1,166 @@
+"""Decompose the flagship train step's time on the real TPU (round 2).
+
+Times, each as its own jitted program (pipelined reps, scalar-fetch sync —
+block_until_ready does not block on axon):
+
+  * full train step at several remat settings,
+  * value_and_grad only (no optimizer),
+  * optimizer update only,
+  * forward only.
+
+Usage: python benchmarks/bench_step_ablation.py [--variants base,dots,...]
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def timed(fn, n, *args):
+    out = fn(*args)
+    jax.device_get(jax.tree.leaves(out)[0])  # post-compile warmup barrier
+    out = fn(*args)
+    jax.device_get(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.device_get(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--variants", default="base,dots,grad_only,opt_only,fwd")
+    args = p.parse_args()
+    variants = args.variants.split(",")
+
+    from msa_tpu.configs import build_experiment
+    from msa_tpu.data.dataset import MultimodalDataset
+    from msa_tpu.data.featurize import synthetic_split
+    from msa_tpu.training.trainer import Trainer
+
+    exp = build_experiment(dataset="mosi", model_name="bert-large-uncased",
+                           num_labels=1, train_batch_size=args.batch_size,
+                           compute_dtype="bfloat16", warmup_proportion=0.01)
+    trainer = Trainer(exp)
+    vdim, sdim = exp.model.visual_dim, exp.model.speech_dim
+    split = synthetic_split(args.batch_size, 40, vdim, sdim,
+                            vocab_size=exp.model.bert.vocab_size, seed=0)
+    ds = MultimodalDataset(split, seed=0)
+    batch = trainer._shard_batch(next(ds.epoch_batches(0, args.batch_size,
+                                                       drop_last=True)))
+    state = trainer.init_state(jax.random.key(0), total_steps=10_000)
+    rng = trainer.rng(1)
+    results = {}
+
+    copy_state = jax.jit(lambda s: jax.tree.map(lambda x: x + 0, s))
+
+    def time_train_variant(name, **cfg_updates):
+        tr = Trainer(dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, **cfg_updates)))
+        if "adam_mu_dtype" in cfg_updates:
+            from msa_tpu.training.optim import make_optimizer
+            from msa_tpu.training.train_state import TrainState
+            tr.tx = make_optimizer(tr.config.train, 10_000)
+            run_state = TrainState(
+                params=copy_state(state.params),
+                opt_state=jax.jit(tr.tx.init)(state.params),
+                step=state.step + 0)
+        else:
+            tr.tx = trainer.tx
+            # the step donates its state arg: run on a fresh copy
+            run_state = copy_state(state)
+        step = tr._build_train_step()
+        # warmup twice (donation relayout triggers a 2nd compile)
+        for _ in range(2):
+            run_state, m = step(run_state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            run_state, m = step(run_state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        t = (time.perf_counter() - t0) / args.steps
+        results[name] = t
+        print(f"{name:24s}: {t*1e3:8.2f} ms/step")
+
+    if "base" in variants:
+        time_train_variant("base(remat=full)")
+    if "dots" in variants:
+        time_train_variant("remat=dots", remat_policy="dots")
+    if "noremat" in variants:
+        time_train_variant("no remat", remat=False)
+    if "unfused" in variants:
+        time_train_variant("fuse_text_pass", fuse_text_pass=True)
+    if "flash" in variants:
+        time_train_variant("flash=always", use_flash_attention="always")
+    if "flash_dots" in variants:
+        time_train_variant("flash+dots", use_flash_attention="always",
+                           remat_policy="dots")
+    if "save_small" in variants:
+        time_train_variant("remat=save_small", remat_policy="save_small")
+    if "mu16" in variants:
+        time_train_variant("save_small+mu16", remat_policy="save_small",
+                           adam_mu_dtype="bfloat16")
+    if "flash_save_small" in variants:
+        time_train_variant("flash+save_small", use_flash_attention="always",
+                           remat_policy="save_small")
+
+    if "grad_only" in variants or "opt_only" in variants or "fwd" in variants:
+        from msa_tpu.models.mmbert import mmbert_forward, mmbert_loss
+        from msa_tpu.ops import masking
+        cfg = exp.model
+        tc = exp.train
+
+        def fwd_loss(params, b, r):
+            k_t, k_v, k_s, k_drop = jax.random.split(r, 4)
+            ids = b["text_ids"]
+            t_ids, t_lab = masking.mask_tokens(k_t, ids, 0.15, trainer.mask_token_id, trainer.special_ids)
+            tv_ids, tv_lab = masking.mask_tokens(k_v, ids, 0.15, trainer.mask_token_id, trainer.special_ids)
+            ts_ids, ts_lab = masking.mask_tokens(k_s, ids, 0.15, trainer.mask_token_id, trainer.special_ids)
+            out = mmbert_forward(params, t_ids, b["text_mask"], tv_ids, ts_ids,
+                                 b["visual"], b["speech"], cfg,
+                                 deterministic=False, rng=k_drop,
+                                 compute_dtype=trainer.compute_dtype,
+                                 remat=tc.remat, mlm_scores=False)
+            losses = mmbert_loss(params, out, t_lab, tv_lab, ts_lab,
+                                 b["visual_ap"], b["speech_ap"], b["target"],
+                                 cfg, weights=b["weight"])
+            return losses["loss"]
+
+        if "fwd" in variants:
+            f = jax.jit(fwd_loss)
+            results["fwd+loss"] = timed(f, args.steps, state.params, batch, rng)
+            print(f"{'fwd+loss':24s}: {results['fwd+loss']*1e3:8.2f} ms/step")
+
+        if "grad_only" in variants:
+            g = jax.jit(jax.grad(fwd_loss))
+            dt = timed(lambda p: jax.tree.leaves(g(p, batch, rng))[0].sum(),
+                       args.steps, state.params)
+            results["grad_only"] = dt
+            print(f"{'grad (no optimizer)':24s}: {dt*1e3:8.2f} ms/step")
+
+        if "opt_only" in variants:
+            tx = trainer.tx
+            grads = jax.jit(jax.grad(fwd_loss))(state.params, batch, rng)
+
+            @jax.jit
+            def opt(g, o, p):
+                u, no = tx.update(g, o, p)
+                np_ = jax.tree.map(lambda a, b: a + b.astype(a.dtype), p, u)
+                return jax.tree.leaves(np_)[0].sum()
+
+            dt = timed(opt, args.steps, grads, state.opt_state, state.params)
+            results["opt_only"] = dt
+            print(f"{'optimizer update only':24s}: {dt*1e3:8.2f} ms/step")
+
+    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,8 +189,18 @@ class TrainConfig:
     fuse_text_pass: bool = False
     # lax.scan unroll factor over encoder layers (compile time vs schedule).
     scan_unroll: int = 1
-    # remat policy: 'full' (recompute all) or 'dots' (save matmul outputs).
-    remat_policy: str = "full"
+    # remat policy: 'full' (recompute all), 'dots' (save all matmul outputs),
+    # or 'save_small' (save only [*, H]-wide outputs; recompute FFN +
+    # softmax).  Measured on v5e bert-large B=32: save_small 165.3 ms/step
+    # vs full 170.8 vs dots 169.8 -- see BENCH.md round-2 ablations.
+    remat_policy: str = "save_small"
+    # dtype for Adam's first moment (mu): bfloat16 halves its HBM traffic in
+    # the (bandwidth-bound) update with no observed training difference; use
+    # float32 for bit-exact torch AdamW parity.
+    adam_mu_dtype: str = "float32"
+    # Include the global gradient norm in per-step train metrics (one extra
+    # full read of the grads, ~1% step time at bert-large).
+    log_grad_norm: bool = False
     # Write a jax profiler trace of train steps [profile_start, profile_stop)
     # of epoch 0 into this directory (None = off).  Ref has no tracing at all
     # (SURVEY.md section 5.1).

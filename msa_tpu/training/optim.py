@@ -65,6 +65,10 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
             eps=1e-6,
             weight_decay=cfg.weight_decay,
             mask=decay_mask,
+            # bf16 mu halves the first moment's read+write in the
+            # bandwidth-bound fused update (same exponent range as f32);
+            # keep float32 (default) for bit-exact torch parity.
+            mu_dtype=getattr(cfg, "adam_mu_dtype", "float32"),
         )
     )
     tx = optax.chain(*parts)

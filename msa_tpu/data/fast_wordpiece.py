@@ -89,8 +89,15 @@ class FastTokenizer:
         """All words of one sample -> (token_ids, word_inversions)."""
         if self._handle is None or not words:
             return self._encode_words_python(words)
+        strs = [str(w) for w in words]
+        # '\n' is the native protocol's word separator, and the C side does
+        # not treat '\r' as a word split the way the Python tokenizer does:
+        # either embedded in a word would shift every later inversion index
+        # (mis-aligning the visual/speech frame gather).  Fall back.
+        if any("\n" in w or "\r" in w for w in strs):
+            return self._encode_words_python(words)
         try:
-            text = "\n".join(str(w) for w in words).encode("ascii")
+            text = "\n".join(strs).encode("ascii")
         except UnicodeEncodeError:
             return self._encode_words_python(words)
         max_out = max(len(text) * 2 + 16, 64)

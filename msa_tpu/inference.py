@@ -36,12 +36,15 @@ class Predictor:
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
         cfg = config.model
         dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+        from .ops.attention import default_on_tpu
+        on_tpu = default_on_tpu()  # host-side resolution, threaded into jit
 
         def forward(params, ids, mask, visual, speech):
             out = mmbert_forward(
                 params, ids, mask, ids, ids, visual, speech, cfg,
                 deterministic=True, compute_dtype=dtype,
-                use_flash=tc.use_flash_attention, mlm_scores=False,
+                use_flash=tc.use_flash_attention, on_tpu=on_tpu,
+                mlm_scores=False,
                 fuse_text_pass=tc.fuse_text_pass)
             logits = out["logits"]
             if cfg.regression:
@@ -53,7 +56,9 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, directory: str, batch_size: int = 8,
-                        mesh=None) -> "Predictor":
+                        mesh=None, model_num: int | None = None) -> "Predictor":
+        from .training.checkpoint import resolve_checkpoint
+        directory = resolve_checkpoint(directory, model_num)
         config = load_config(directory)
         if config is None:
             raise FileNotFoundError(f"no config.json in {directory}")

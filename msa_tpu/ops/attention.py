@@ -34,11 +34,18 @@ NEG_INF = -1e9
 _FLASH_MIN_SEQ = 1024
 
 
-def _platform() -> str:
+def default_on_tpu() -> bool:
+    """HOST-side platform resolution for the ``on_tpu`` arguments below.
+
+    Call this once outside jit (Trainer.__init__, a CLI, a bench harness)
+    and thread the result in.  It must NOT be called inside traced model
+    code: the default backend is the wrong answer under mixed backends or
+    when tracing for a non-default device (round-1 VERDICT item 9).
+    """
     try:
-        return jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend at import time
-        return "cpu"
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend available
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -230,13 +237,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_attention(q, k, v, key_bias, seed=None, q_block=128, kv_block=128,
-                     dropout_rate=0.0):
+                     dropout_rate=0.0, interpret=False):
     """seed: [1] int32 array driving in-kernel attention dropout (TPU only);
-    pass None / rate 0 for the deterministic path."""
+    pass None / rate 0 for the deterministic path.  ``interpret=True`` runs
+    the kernel in Pallas interpret mode (CPU testing)."""
     return _flash_forward_dispatch(q, k, v, key_bias, seed, q_block, kv_block,
-                                   dropout_rate)
+                                   dropout_rate, interpret=interpret)
 
 
 def _pad_seq(x, target):
@@ -261,10 +269,9 @@ def _seed_arg(seed):
 
 
 def _flash_forward_dispatch(q, k, v, key_bias, seed, q_block, kv_block,
-                            dropout_rate, with_lse=False):
+                            dropout_rate, with_lse=False, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
-    interpret = _platform() != "tpu"
     b, n, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     qp, kp, vp, bias, sq, sk = _flash_padded_inputs(q, k, v, key_bias,
@@ -296,13 +303,15 @@ def _flash_forward_dispatch(q, k, v, key_bias, seed, q_block, kv_block,
     return out[:, :, :s, :]
 
 
-def _flash_fwd(q, k, v, key_bias, seed, q_block, kv_block, dropout_rate):
+def _flash_fwd(q, k, v, key_bias, seed, q_block, kv_block, dropout_rate,
+               interpret):
     out, lse = _flash_forward_dispatch(q, k, v, key_bias, seed, q_block,
-                                       kv_block, dropout_rate, with_lse=True)
+                                       kv_block, dropout_rate, with_lse=True,
+                                       interpret=interpret)
     return out, (q, k, v, key_bias, seed, out, lse)
 
 
-def _flash_bwd(q_block, kv_block, dropout_rate, residuals, g):
+def _flash_bwd(q_block, kv_block, dropout_rate, interpret, residuals, g):
     """Blockwise Pallas backward: P recomputed from the saved logsumexp;
     never materializes [B, N, S, S].  The dropout mask is regenerated from
     (seed, tile_id), bit-identical to the forward's.  ``key_bias`` is a
@@ -311,7 +320,6 @@ def _flash_bwd(q_block, kv_block, dropout_rate, residuals, g):
     from jax.experimental.pallas import tpu as pltpu
 
     q, k, v, key_bias, seed, out, lse = residuals
-    interpret = _platform() != "tpu"
     b, n, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     qp, kp, vp, bias, sq, sk = _flash_padded_inputs(q, k, v, key_bias,
@@ -390,8 +398,14 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     use_flash: str = "auto",
+    on_tpu: bool = False,
 ) -> jnp.ndarray:
-    """Split heads, attend, merge heads.  Returns [B, S, H]."""
+    """Split heads, attend, merge heads.  Returns [B, S, H].
+
+    ``on_tpu`` selects the compiled Pallas kernel (True) vs interpret mode /
+    XLA fallback (False).  Resolve it on the host (``default_on_tpu()``) and
+    thread it in -- it is deliberately NOT sniffed at trace time.
+    """
     b, s, h = q.shape
     d = h // num_heads
     qh = q.reshape(b, s, num_heads, d)
@@ -400,7 +414,6 @@ def multi_head_attention(
 
     dropout_active = (not deterministic) and dropout_rate > 0.0 \
         and dropout_rng is not None
-    on_tpu = _platform() == "tpu"
     if use_flash == "always":
         flash = True
     elif use_flash == "never":
@@ -422,6 +435,7 @@ def multi_head_attention(
         ctx = _flash_attention(
             qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
             vh.transpose(0, 2, 1, 3), key_bias, seed, 128, 128, rate,
+            not on_tpu,
         )
         ctx = ctx.transpose(0, 2, 1, 3)
     else:

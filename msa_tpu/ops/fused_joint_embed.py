@@ -21,13 +21,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _platform() -> str:
-    try:
-        return jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return "cpu"
-
-
 def _kernel(text_ref, feats_ref, w_ref, b_ref, scale_ref, bias_ref, out_ref,
             *, eps: float):
     text = text_ref[0].astype(jnp.float32)           # [L, H]
@@ -50,10 +43,9 @@ def _kernel(text_ref, feats_ref, w_ref, b_ref, scale_ref, bias_ref, out_ref,
     out_ref[0, l:, :] = ln(proj).astype(out_ref.dtype)
 
 
-def _fused_forward(text_emb, feats, w, b, scale, bias, eps):
+def _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret):
     bsz, l, h = text_emb.shape
     d = feats.shape[-1]
-    interpret = _platform() != "tpu"
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((bsz, 2 * l, h), text_emb.dtype),
@@ -84,18 +76,23 @@ def _ref_forward(text_emb, feats, w, b, scale, bias, eps):
     return y.astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12):
-    """[B, L, H] text embeddings + [B, L, D] frames -> [B, 2L, H]."""
-    return _fused_forward(text_emb, feats, w, b, scale, bias, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12,
+                      interpret=False):
+    """[B, L, H] text embeddings + [B, L, D] frames -> [B, 2L, H].
+
+    ``interpret=True`` runs the Pallas kernel in interpret mode (CPU
+    testing); resolve on the host, never sniffed at trace time.
+    """
+    return _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret)
 
 
-def _fwd(text_emb, feats, w, b, scale, bias, eps):
-    out = _fused_forward(text_emb, feats, w, b, scale, bias, eps)
+def _fwd(text_emb, feats, w, b, scale, bias, eps, interpret):
+    out = _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret)
     return out, (text_emb, feats, w, b, scale, bias)
 
 
-def _bwd(eps, res, g):
+def _bwd(eps, interpret, res, g):
     text_emb, feats, w, b, scale, bias = res
     _, vjp = jax.vjp(
         lambda *a: _ref_forward(*a, eps), text_emb, feats, w, b, scale, bias)

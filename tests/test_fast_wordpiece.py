@@ -49,6 +49,21 @@ def test_native_matches_python(fast, words):
     np.testing.assert_array_equal(inv_f, inv_p)
 
 
+@pytest.mark.parametrize("words", [
+    ["bad\nmovie", "plot"],    # embedded '\n' = the native protocol separator
+    ["bad\rmovie", "plot"],    # '\r': Python splits it, the C side does not
+    ["a", "b\n", "c"],
+])
+def test_control_chars_fall_back(fast, words):
+    """Words containing the protocol separator must not shift inversion
+    indices (they previously desynced the visual/speech frame gather)."""
+    ids_f, inv_f = fast.encode_words(words)
+    ids_p, inv_p = fast._encode_words_python(words)
+    np.testing.assert_array_equal(ids_f, ids_p)
+    np.testing.assert_array_equal(inv_f, inv_p)
+    assert inv_f.size == 0 or inv_f.max() < len(words)
+
+
 def test_non_ascii_falls_back(fast):
     words = ["café", "movie"]
     ids_f, inv_f = fast.encode_words(words)

@@ -36,7 +36,7 @@ def ref_attention(q, k, v, key_bias):
 def test_flash_matches_xla(s):
     q, k, v, key_bias, mask = make_inputs(s=s)
     ref = ref_attention(q, k, v, key_bias)
-    out = _flash_attention(q, k, v, key_bias)
+    out = _flash_attention(q, k, v, key_bias, None, 128, 128, 0.0, True)
     m = mask.astype(bool)
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 2, 1, 3)[m],
@@ -48,7 +48,7 @@ def test_flash_gradients_match_xla():
     q, k, v, key_bias, mask = make_inputs(s=40)
 
     def loss_flash(q, k, v):
-        out = _flash_attention(q, k, v, key_bias)
+        out = _flash_attention(q, k, v, key_bias, None, 128, 128, 0.0, True)
         return jnp.sum(out ** 2 * mask[:, None, :, None])
 
     def loss_ref(q, k, v):

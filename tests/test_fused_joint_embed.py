@@ -24,7 +24,7 @@ def inputs():
 
 
 def test_fused_matches_reference(inputs):
-    out = fused_joint_embed(*inputs)
+    out = fused_joint_embed(*inputs, 1e-12, True)  # interpret on CPU
     ref = _ref_forward(*inputs, 1e-12)
     assert out.shape == (3, 32, 64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -33,7 +33,7 @@ def test_fused_matches_reference(inputs):
 
 def test_fused_gradients_match_reference(inputs):
     def loss_fused(*a):
-        return jnp.sum(fused_joint_embed(*a) ** 2)
+        return jnp.sum(fused_joint_embed(*a, 1e-12, True) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(_ref_forward(*a, 1e-12) ** 2)
@@ -54,7 +54,8 @@ def test_joint_embed_dispatch_matches(inputs):
                        speech_dim=74)
     params = init_mmbert_params(jax.random.key(0), cfg)
     text, feats = inputs[0], inputs[1]
-    a = joint_embed(params, text, feats, "Wv", cfg, fused="always")
+    a = joint_embed(params, text, feats, "Wv", cfg, fused="always",
+                    on_tpu=False)  # on_tpu=False -> interpret-mode kernel
     b = joint_embed(params, text, feats, "Wv", cfg, fused="never")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-5)

@@ -81,6 +81,8 @@ def test_train_step_runs_on_mesh(dp, mp):
     # step 1 applies lr(0)=0 under linear warmup (HF semantics); step 2 moves.
     state2, metrics = step_fn(state, sb, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+    # the gather cap must never drop masked positions (no silent caps)
+    assert int(metrics["mlm_overflow"]) == 0
     sb2 = trainer._shard_batch(batch)
     state3, metrics2 = step_fn(state2, sb2, jax.random.key(1))
     after = float(jnp.sum(jnp.abs(state3.params["fusion"]["classifier1"]["kernel"])))
@@ -149,6 +151,39 @@ def test_checkpoint_roundtrip(tmp_path):
     flat_b = jax.tree.leaves(b)
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_grad_norm_metric():
+    exp = tiny_experiment(log_grad_norm=True)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    state = trainer.init_state(jax.random.key(0), 10)
+    train_ds, _, _ = make_datasets()
+    batch = next(train_ds.epoch_batches(0, 8))
+    fn = trainer._build_train_step()
+    _, metrics = fn(state, trainer._shard_batch(batch), jax.random.key(1))
+    gn = float(metrics["grad_norm"])
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_eval_masking_uses_fresh_keys_per_batch():
+    """eval_masking=True must draw a different mask per eval batch (ref
+    trainer.py:135-137 masks each batch independently; round-1 passed one
+    unchanged key to every batch)."""
+    exp = tiny_experiment(eval_masking=True)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    state = trainer.init_state(jax.random.key(0), 10)
+    _, val_ds, _ = make_datasets()
+    real = trainer._build_eval_step()
+    seen = []
+
+    def spy(params, batch, rng):
+        seen.append(np.asarray(jax.random.key_data(rng)).ravel().tolist())
+        return real(params, batch, rng)
+
+    trainer._eval_step = spy
+    trainer.eval_epoch(state, val_ds, 0, jax.random.key(1), 4)
+    assert len(seen) == 3  # 12 samples / batch 4
+    assert len({tuple(k) for k in seen}) == 3  # all keys distinct
 
 
 def test_classification_path():

@@ -25,7 +25,12 @@ from ..training.trainer import Trainer
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="run dir (holding epoch_NNN checkpoints) or a direct "
+                        "checkpoint dir")
+    p.add_argument("--model_num", type=int, default=None,
+                   help="epoch number of the retained checkpoint to load "
+                        "(ref sampling.py --model_num); default: newest/best")
     p.add_argument("--data_pkl", type=str, default=None)
     p.add_argument("--vocab", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0)
@@ -37,9 +42,14 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    exp = load_config(args.checkpoint)
+    from ..training.checkpoint import resolve_checkpoint
+    try:
+        ckpt = resolve_checkpoint(args.checkpoint, args.model_num)
+    except FileNotFoundError as e:
+        sys.exit(str(e))
+    exp = load_config(ckpt)
     if exp is None:
-        sys.exit(f"no config.json found in {args.checkpoint}")
+        sys.exit(f"no config.json found in {ckpt}")
 
     vdim, sdim = exp.model.visual_dim, exp.model.speech_dim
     mask_kwargs = {}
@@ -62,7 +72,7 @@ def main(argv=None):
 
     trainer = Trainer(exp, **mask_kwargs)
     state = trainer.init_state(jax.random.key(0), total_steps=1)
-    state, meta = load_checkpoint(args.checkpoint, state)
+    state, meta = load_checkpoint(ckpt, state)
     print(f"Loaded checkpoint at step {meta.get('step')} epoch {meta.get('epoch')}")
 
     _, preds, labels = trainer.eval_epoch(state, test_ds, 0, jax.random.key(0),

@@ -149,18 +149,24 @@ def main(argv=None):
 
     state = trainer.init_state(jax.random.key(args.seed), total_steps, pretrained)
     start_epoch = 0
+    resume_result = None
     if args.resume:
-        from ..training.checkpoint import load_checkpoint
-        state, meta = load_checkpoint(args.resume, state)
+        from ..training.checkpoint import load_checkpoint, resolve_checkpoint
+        from ..training.trainer import FitResult
+        ckpt = resolve_checkpoint(args.resume)  # run dir or direct epoch dir
+        state, meta = load_checkpoint(ckpt, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
-        logger.info("Resumed from %s at step %s (epoch %d)", args.resume,
+        if "fit" in meta:  # restore best_*/patience/history, not just weights
+            resume_result = FitResult.from_meta(meta["fit"], ckpt)
+        logger.info("Resumed from %s at step %s (epoch %d)", ckpt,
                     meta.get("step"), start_epoch)
 
     ckpt_dir = make_date_dir(args.checkpoint_root)
     logger.info("Model save path: %s", ckpt_dir)
     state, result = trainer.fit(state, train_ds, val_ds, test_ds, logger,
                                 checkpoint_dir=ckpt_dir,
-                                start_epoch=start_epoch)
+                                start_epoch=start_epoch,
+                                resume_result=resume_result)
 
     if result.best_preds is not None:
         np_dir = make_date_dir(args.numpy_root)

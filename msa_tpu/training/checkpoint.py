@@ -24,6 +24,51 @@ from .train_state import TrainState
 STATE_FILE = "state.msgpack"
 META_FILE = "meta.json"
 CONFIG_FILE = "config.json"
+EPOCH_DIR_FMT = "epoch_{:03d}"
+
+
+def epoch_dir(directory: str, epoch: int) -> str:
+    """Numbered per-improvement checkpoint subdir (the reference keeps
+    ``model_<epoch>.pt`` for every improvement, ref trainer.py:268-269, and
+    sampling selects one by --model_num, ref sampling.py:342-344)."""
+    return os.path.join(directory, EPOCH_DIR_FMT.format(epoch))
+
+
+def list_epoch_checkpoints(directory: str):
+    """Sorted epoch numbers of the retained checkpoints under ``directory``."""
+    out = []
+    if os.path.isdir(directory):
+        for name in os.listdir(directory):
+            if name.startswith("epoch_") and os.path.exists(
+                    os.path.join(directory, name, STATE_FILE)):
+                try:
+                    out.append(int(name[len("epoch_"):]))
+                except ValueError:
+                    pass
+    return sorted(out)
+
+
+def resolve_checkpoint(directory: str, model_num: Optional[int] = None) -> str:
+    """Resolve a run dir (holding epoch_NNN subdirs) or a direct checkpoint
+    dir to the directory containing ``state.msgpack``.
+
+    ``model_num`` selects a specific retained epoch (ref sampling.py's
+    --model_num); default is the newest (= best-so-far) checkpoint.
+    """
+    if model_num is not None:
+        d = epoch_dir(directory, model_num)
+        if not os.path.exists(os.path.join(d, STATE_FILE)):
+            avail = list_epoch_checkpoints(directory)
+            raise FileNotFoundError(
+                f"no checkpoint for epoch {model_num} in {directory}; "
+                f"available epochs: {avail}")
+        return d
+    if os.path.exists(os.path.join(directory, STATE_FILE)):
+        return directory
+    epochs = list_epoch_checkpoints(directory)
+    if not epochs:
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    return epoch_dir(directory, epochs[-1])
 
 
 def save_checkpoint(

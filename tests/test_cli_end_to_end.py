@@ -71,14 +71,25 @@ def test_train_sample_score_pipeline(workdir, vocab_file, data_pkl, monkeypatch)
     assert result.best_preds is not None
     assert len(result.history) == 2
 
-    # checkpoint artifacts
+    # checkpoint artifacts: run dir holds one epoch_NNN subdir per
+    # val-acc improvement (ref keeps model_<epoch>.pt per improvement)
+    from msa_tpu.training.checkpoint import (
+        list_epoch_checkpoints, resolve_checkpoint,
+    )
     ckpts = sorted(os.listdir(workdir / "model_save"))
     assert ckpts
     ckpt = str(workdir / "model_save" / ckpts[-1])
-    assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
-    with open(os.path.join(ckpt, "config.json")) as f:
+    epochs = list_epoch_checkpoints(ckpt)
+    assert result.best_epoch in epochs
+    best = resolve_checkpoint(ckpt)
+    assert os.path.exists(os.path.join(best, "state.msgpack"))
+    assert os.path.exists(os.path.join(best, "predict.npy"))
+    with open(os.path.join(best, "config.json")) as f:
         cfg = json.load(f)
     assert cfg["model"]["num_labels"] == 7
+    with open(os.path.join(best, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["fit"]["best_epoch"] == result.best_epoch
 
     # sample CLI reloads checkpoint and scores the pickle's test split
     from msa_tpu.cli.sample import main as sample_main

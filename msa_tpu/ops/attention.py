@@ -8,8 +8,12 @@ The reference delegates all attention math to HF ``BertEncoder`` CUDA kernels
   * ``_flash_attention``: blockwise online-softmax Pallas kernel that never
     materializes the [S, S] score matrix.  Bias is a key-padding additive mask
     [B, S] (the text||pair concat layout of ref MMBertForPretraining.py:246-250
-    reduces to exactly this).  Backward pass recomputes attention with XLA
-    (cheap at MSA sequence lengths; a Pallas backward is a planned upgrade).
+    reduces to exactly this).  Full Pallas backward (dq + dk/dv kernels, P
+    recomputed from the saved logsumexp), in-kernel attention dropout (TPU
+    PRNG, mask regenerated in backward).  Matmuls run in the storage dtype
+    (bf16 -> full-rate MXU) with f32 accumulation and f32 softmax stats;
+    measured on v5e at 512-blocks: fwd+bwd beats XLA from S=1024 and is 3x
+    faster at S=4096 (BENCH.md).
 
 Dispatch:  ``use_flash`` in {"auto", "always", "never"}.  "auto" picks the
 kernel on TPU when attention dropout is inactive and the sequence is long
@@ -111,7 +115,10 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     softmax normalization: l accumulates undropped p, acc accumulates
     masked p, final out = acc / (l * (1 - rate)) -- torch semantics).
     """
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    # Matmuls run in the STORAGE dtype (bf16 in production -> full-rate MXU;
+    # f32 in the CPU interpret tests -> exact) with f32 accumulation; all
+    # softmax statistics stay f32.
+    q = q_ref[0, 0]
     bq, d = q.shape
     s_total = k_ref.shape[2]
     num_kb = s_total // kv_block
@@ -121,10 +128,11 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     def body(kb_idx, carry):
         acc, m, l = carry
         start = kb_idx * kv_block
-        kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        kb = k_ref[0, 0, pl.ds(start, kv_block), :]
+        vb = v_ref[0, 0, pl.ds(start, kv_block), :]
         b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) + b[None, :]
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) * scale \
+            + b[None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -134,7 +142,8 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                               _tile_id(i, j, r, kb_idx, n_heads, n_qb, num_kb),
                               p.shape, dropout_rate)
             p = jnp.where(keep, p, 0.0)
-        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(vb.dtype), vb,
+                                    preferred_element_type=jnp.float32)
         return acc, m_new, l
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
@@ -157,11 +166,11 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     The dropout mask M is regenerated from (seed, tile_id) -- identical to
     the forward's by construction.
     """
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    o = o_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    delta = jnp.sum(do_ref[0, 0].astype(jnp.float32)
+                    * o_ref[0, 0].astype(jnp.float32), axis=-1, keepdims=True)
     lse = lse_ref[0, 0, 0].astype(jnp.float32)[:, None]
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
     bq, d = q.shape
     num_kb = k_ref.shape[2] // kv_block
     i, j, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -169,10 +178,11 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
 
     def body(kb_idx, dq):
         start = kb_idx * kv_block
-        kb = k_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(start, kv_block), :].astype(jnp.float32)
+        kb = k_ref[0, 0, pl.ds(start, kv_block), :]
+        vb = v_ref[0, 0, pl.ds(start, kv_block), :]
         b = bias_ref[0, 0, pl.ds(start, kv_block)].astype(jnp.float32)
-        s = jnp.dot(q * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) * scale \
+            + b[None, :]
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
@@ -180,7 +190,7 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
                               _tile_id(i, j, r, kb_idx, n_heads, n_qb, num_kb),
                               dp.shape, dropout_rate)
             dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(kb.dtype)
         return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
 
     dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
@@ -191,8 +201,8 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
                       lse_ref, dk_ref, dv_ref, *, q_block: int, scale: float,
                       dropout_rate: float):
     """dK/dV for one (batch, head, k-block): loop over q blocks."""
-    kb = k_ref[0, 0].astype(jnp.float32)
-    vb = v_ref[0, 0].astype(jnp.float32)
+    kb = k_ref[0, 0]
+    vb = v_ref[0, 0]
     b = bias_ref[0, 0].astype(jnp.float32)
     bk, d = kb.shape
     num_qb = q_ref.shape[2] // q_block
@@ -203,13 +213,15 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     def body(qb_idx, carry):
         dk, dv = carry
         start = qb_idx * q_block
-        qb = q_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
-        dob = do_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
-        ob = o_ref[0, 0, pl.ds(start, q_block), :].astype(jnp.float32)
+        qb = q_ref[0, 0, pl.ds(start, q_block), :]
+        dob = do_ref[0, 0, pl.ds(start, q_block), :]
+        ob = o_ref[0, 0, pl.ds(start, q_block), :]
         lse = lse_ref[0, 0, 0, pl.ds(start, q_block)].astype(jnp.float32)[:, None]
-        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32) + b[None, :]
-        p = jnp.exp(s - lse)                      # [BQ, BK]
-        delta = jnp.sum(dob * ob, axis=-1, keepdims=True)
+        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32) * scale \
+            + b[None, :]
+        p = jnp.exp(s - lse)                      # [BQ, BK] f32
+        delta = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _keep_mask(seed_ref,
@@ -217,12 +229,13 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
                                        num_kb),
                               p.shape, dropout_rate)
             inv = 1.0 / (1.0 - dropout_rate)
-            dv = dv + jnp.dot(jnp.where(keep, p, 0.0).T, dob,
+            dv = dv + jnp.dot(jnp.where(keep, p, 0.0).astype(dob.dtype).T, dob,
                               preferred_element_type=jnp.float32) * inv
             dp = jnp.where(keep, dp, 0.0) * inv
         else:
-            dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+            dv = dv + jnp.dot(p.astype(dob.dtype).T, dob,
+                              preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qb.dtype)
         dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32) * scale
         return dk, dv
 
@@ -432,9 +445,12 @@ def multi_head_attention(
             rate = float(dropout_rate)
         else:
             seed, rate = None, 0.0
+        # 512-blocks won the v5e sweep at every S>=1024 (BENCH.md round 2);
+        # shorter sequences use one whole-sequence block.
+        blk = min(512, _round_up(s, 128))
         ctx = _flash_attention(
             qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
-            vh.transpose(0, 2, 1, 3), key_bias, seed, 128, 128, rate,
+            vh.transpose(0, 2, 1, 3), key_bias, seed, blk, blk, rate,
             not on_tpu,
         )
         ctx = ctx.transpose(0, 2, 1, 3)

@@ -19,12 +19,17 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="bert-large-uncased")
-    p.add_argument("--batch_size", type=int, default=32)
+    # B=64 is the measured throughput/MFU sweet spot on v5e (BENCH.md
+    # round-2 ablations: 205.5 samples/s vs 200 at B=32, 199.6 at B=128).
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_seq_length", type=int, default=40)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--flash", default="auto")
+    p.add_argument("--adam_mu_dtype", default="bfloat16",
+                   help="bf16 mu halves the bandwidth-bound update's moment "
+                        "traffic; float32 for bit-exact torch parity")
     args = p.parse_args()
 
     import jax
@@ -44,7 +49,8 @@ def main():
     )
     import dataclasses
     exp = dataclasses.replace(
-        exp, data=dataclasses.replace(exp.data, max_seq_length=args.max_seq_length))
+        exp, data=dataclasses.replace(exp.data, max_seq_length=args.max_seq_length),
+        train=dataclasses.replace(exp.train, adam_mu_dtype=args.adam_mu_dtype))
 
     trainer = Trainer(exp)
     vdim, sdim = exp.model.visual_dim, exp.model.speech_dim

@@ -107,6 +107,12 @@ def main():
     if "mu16" in variants:
         time_train_variant("save_small+mu16", remat_policy="save_small",
                            adam_mu_dtype="bfloat16")
+    if "full16" in variants:
+        time_train_variant("remat_full+mu16", remat_policy="full",
+                           adam_mu_dtype="bfloat16")
+    if "wide16" in variants:
+        time_train_variant("save_wide+mu16", remat_policy="save_wide",
+                           adam_mu_dtype="bfloat16")
     if "flash_save_small" in variants:
         time_train_variant("flash+save_small", use_flash_attention="always",
                            remat_policy="save_small")

@@ -56,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab", type=str, default=None,
                    help="BERT wordpiece vocab.txt (required with --data_pkl)")
     p.add_argument("--pretrained", type=str, default=None,
-                   help="torch state_dict (.pt/.bin) of bert-*-uncased to load")
+                   help="torch state_dict file (.pt/.bin) OR a model name "
+                        "like bert-large-uncased (resolved via the HF "
+                        "cache/network; see scripts/fetch_bert_weights.py "
+                        "for offline hosts)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic examples instead of real data")
     p.add_argument("--checkpoint_root", type=str, default="./model_save")
@@ -143,9 +146,9 @@ def main(argv=None):
 
     pretrained = None
     if args.pretrained:
-        from ..models.weights import load_torch_checkpoint
-        logger.info("Loading pretrained torch weights from %s", args.pretrained)
-        pretrained = load_torch_checkpoint(args.pretrained)
+        from ..models.weights import resolve_pretrained
+        logger.info("Loading pretrained weights: %s", args.pretrained)
+        pretrained = resolve_pretrained(args.pretrained)
 
     state = trainer.init_state(jax.random.key(args.seed), total_steps, pretrained)
     start_epoch = 0

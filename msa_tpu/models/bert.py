@@ -115,7 +115,11 @@ def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
              deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0 or key is None:
         return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    from jax.ad_checkpoint import checkpoint_name
+    # 'drop_mask' lets remat policies regenerate the PRNG draw in backward
+    # instead of storing the mask (and the u32 bits feeding it) in HBM.
+    keep = checkpoint_name(jax.random.bernoulli(key, 1.0 - rate, x.shape),
+                           "drop_mask")
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
@@ -210,10 +214,13 @@ def bert_encoder(
             layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps),
             "narrow")
         # --- mlp ---
-        up = dense(h, lp["wi"])
+        # 'ffn_wide' marks the [*, 4H] tensors: the recompute_ffn policy
+        # saves everything EXCEPT these (they dominate activation memory;
+        # recomputing just wi+gelu costs ~1/12 of the step's matmul FLOPs).
+        up = checkpoint_name(dense(h, lp["wi"]), "ffn_wide")
         # gelu in the compute dtype: in bf16 this halves FFN activation
         # traffic; in f32 it is exact (golden parity).
-        up = jax.nn.gelu(up, approximate=False)
+        up = checkpoint_name(jax.nn.gelu(up, approximate=False), "ffn_wide")
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
         h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)
@@ -233,6 +240,14 @@ def bert_encoder(
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":
             policy = jax.checkpoint_policies.save_only_these_names("narrow")
+        elif remat_policy == "save_wide":
+            # Save the narrow set AND the [*, 4H] FFN tensors; backward
+            # recomputes only elementwise leftovers (LN stats, dropout
+            # masks).  NOTE: save_anything_except_these_names does NOT work
+            # here -- excluding gelu's input/output just makes jax save
+            # gelu's equally-wide INTERNAL intermediates instead (verified).
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "narrow", "ffn_wide")
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)

@@ -138,3 +138,29 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: v.numpy() for k, v in sd.items()}
+
+
+def resolve_pretrained(name_or_path: str) -> Dict[str, np.ndarray]:
+    """State dict from a local torch file OR a model name.
+
+    The reference resolves published checkpoints by name through
+    ``BertForPreTraining.from_pretrained`` (ref train.py:70).  A name here
+    goes through ``transformers`` too (HF cache first, network if
+    available); a path loads the file directly.  Offline bootstrap:
+    ``python scripts/fetch_bert_weights.py bert-large-uncased out/`` on a
+    networked machine, then pass ``--pretrained out/bert-large-uncased.pt``.
+    """
+    import os
+
+    if os.path.exists(name_or_path):
+        return load_torch_checkpoint(name_or_path)
+    try:
+        from transformers import BertForPreTraining
+        model = BertForPreTraining.from_pretrained(name_or_path)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"'{name_or_path}' is neither a local state-dict file nor a "
+            f"resolvable model name (HF cache/network lookup failed: {e}). "
+            "On a networked machine run scripts/fetch_bert_weights.py and "
+            "pass the exported .pt file.") from e
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}

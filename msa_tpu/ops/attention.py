@@ -36,6 +36,9 @@ NEG_INF = -1e9
 # S<=512, parity-to-faster for flash at S>=1024; flash additionally never
 # materializes the [B,N,S,S] buffer, which is what matters at scale).
 _FLASH_MIN_SEQ = 1024
+# At or below this, the whole-sequence short_attention kernel dispatches
+# (natural-layout, zero HBM intermediates -- the MSA S=40/80 hot path).
+_SHORT_MAX_SEQ = 512
 
 
 def default_on_tpu() -> bool:
@@ -428,14 +431,30 @@ def multi_head_attention(
     dropout_active = (not deterministic) and dropout_rate > 0.0 \
         and dropout_rng is not None
     if use_flash == "always":
-        flash = True
+        short = s <= _SHORT_MAX_SEQ
+        flash = not short
     elif use_flash == "never":
-        flash = False
+        short = flash = False
     else:
+        short = on_tpu and s <= _SHORT_MAX_SEQ
         flash = on_tpu and s >= _FLASH_MIN_SEQ
     if dropout_active and not on_tpu:
         # in-kernel dropout needs the TPU PRNG (no interpret-mode support)
-        flash = False
+        short = flash = False
+
+    if short:
+        # Whole-sequence kernel in the NATURAL [B, S, H] layout: no
+        # head-split transposes, no [B,N,S,S] HBM buffers, in-kernel dropout.
+        from .short_attention import short_attention
+        key_bias = bias[:, 0, 0, :]
+        if dropout_active:
+            seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            rate = float(dropout_rate)
+        else:
+            seed, rate = None, 0.0
+        return short_attention(q, k, v, key_bias, seed, num_heads, rate,
+                               not on_tpu)
 
     if flash:
         key_bias = bias[:, 0, 0, :]  # [B, S]

@@ -90,3 +90,18 @@ def test_reference_behaviour_flags_compile():
     em, preds, labels = trainer.eval_epoch(state, ds, 0, trainer.rng(1), 8)
     assert np.isfinite(em.loss)
     assert em.mlm_loss > 0  # masking actually applied at eval
+
+
+def test_resolve_pretrained_path_and_name(tmp_path, torch_ckpt):
+    """resolve_pretrained: a local file loads directly; an unresolvable
+    name raises a FileNotFoundError pointing at the bootstrap script."""
+    from msa_tpu.models.weights import resolve_pretrained
+
+    path = tmp_path / "tiny.pt"
+    torch.save(torch_ckpt.state_dict(), str(path))
+    sd = resolve_pretrained(str(path))
+    assert set(sd) == set(torch_ckpt.state_dict())
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+
+    with pytest.raises(FileNotFoundError, match="fetch_bert_weights"):
+        resolve_pretrained("no-such-model-name-xyz")

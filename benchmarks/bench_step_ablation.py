@@ -107,6 +107,23 @@ def main():
     if "mu16" in variants:
         time_train_variant("save_small+mu16", remat_policy="save_small",
                            adam_mu_dtype="bfloat16")
+    if "fused16" in variants or "fused16nu" in variants:
+        nu = "bfloat16" if "fused16nu" in variants else "float32"
+        tr = Trainer(dataclasses.replace(exp, train=dataclasses.replace(
+            exp.train, remat_policy="save_small", adam_mu_dtype="bfloat16",
+            adam_nu_dtype=nu, fused_optimizer=True)))
+        run_state = tr.init_state(jax.random.key(0), 10_000)
+        step = tr._build_train_step()
+        for _ in range(2):
+            run_state, m = step(run_state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            run_state, m = step(run_state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        t = (time.perf_counter() - t0) / args.steps
+        results[f"fused_adamw(nu={nu})"] = t
+        print(f"{'fused_adamw nu=' + nu:24s}: {t*1e3:8.2f} ms/step")
     if "full16" in variants:
         time_train_variant("remat_full+mu16", remat_policy="full",
                            adam_mu_dtype="bfloat16")

@@ -198,6 +198,14 @@ class TrainConfig:
     # the (bandwidth-bound) update with no observed training difference; use
     # float32 for bit-exact torch AdamW parity.
     adam_mu_dtype: str = "float32"
+    # dtype for Adam's second moment (nu); only honored by the fused
+    # optimizer path.
+    adam_nu_dtype: str = "float32"
+    # Run the AdamW update as one fused Pallas pass per tensor
+    # (training/optim.py::FusedAdamW); semantics identical to the optax
+    # path, measured faster on the bandwidth-bound update.  Requires
+    # gradient_accumulation_steps == 1.
+    fused_optimizer: bool = False
     # Include the global gradient norm in per-step train metrics (one extra
     # full read of the grads, ~1% step time at bert-large).
     log_grad_norm: bool = False

@@ -52,6 +52,98 @@ def linear_warmup_decay(base_lr: float, total_steps: int, warmup_proportion: flo
     )
 
 
+class FusedAdamW:
+    """AdamW whose update runs as ONE fused Pallas pass per tensor
+    (ops/fused_adamw.py) -- the update is HBM-bandwidth-bound and XLA's
+    fusion leaves ~25% on the table (BENCH.md round-2 profile).
+
+    Bit-matches ``optax.adamw`` semantics (same schedule, bias correction,
+    decoupled masked weight decay); pinned in tests/test_fused_adamw.py.
+    Unlike a GradientTransformation it applies the update in place
+    (``apply(params, grads, state) -> (new_params, new_state)``) so the
+    parameter write fuses into the same pass.
+
+    Measured on v5e bert-large B=64 (BENCH.md round 2): 315.2 ms/step vs
+    311.4 for the optax/XLA path -- XLA overlaps its update fusions with
+    the tail of the backward, while per-tensor custom-calls serialize.
+    Kept off-default (`TrainConfig.fused_optimizer`) as the seam for
+    chips/workloads where the update cannot overlap.
+    """
+
+    def __init__(self, schedule, b1=0.9, b2=0.999, eps=1e-6,
+                 weight_decay=0.01, max_grad_norm=0.0,
+                 mu_dtype="float32", nu_dtype="float32",
+                 use_pallas=True, interpret=False):
+        self.schedule = schedule
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.weight_decay = weight_decay
+        self.max_grad_norm = max_grad_norm
+        self.mu_dtype = jax.numpy.dtype(mu_dtype)
+        self.nu_dtype = jax.numpy.dtype(nu_dtype)
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+
+    def init(self, params):
+        import jax.numpy as jnp
+        mu = jax.tree.map(lambda p: jnp.zeros(p.shape, self.mu_dtype), params)
+        nu = jax.tree.map(lambda p: jnp.zeros(p.shape, self.nu_dtype), params)
+        return {"count": jnp.zeros((), jnp.int32), "mu": mu, "nu": nu}
+
+    def apply(self, params, grads, state):
+        import jax.numpy as jnp
+
+        from ..ops.fused_adamw import fused_adamw_leaf
+
+        if self.max_grad_norm and self.max_grad_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, self.max_grad_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        count = state["count"]
+        # optax convention: lr uses the pre-increment count, bias
+        # correction uses t = count + 1.
+        lr = jnp.asarray(self.schedule(count), jnp.float32)
+        t = (count + 1).astype(jnp.float32)
+        c1 = 1.0 - jnp.power(self.b1, t)
+        c2 = 1.0 - jnp.power(self.b2, t)
+        wd_mask = decay_mask(params)
+        zero = jnp.zeros((), jnp.float32)
+        wd = jnp.asarray(self.weight_decay, jnp.float32)
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_mu = treedef.flatten_up_to(state["mu"])
+        flat_nu = treedef.flatten_up_to(state["nu"])
+        flat_m = jax.tree.leaves(wd_mask)
+        new_p, new_mu, new_nu = [], [], []
+        for p, g, mu, nu, m in zip(flat_p, flat_g, flat_mu, flat_nu, flat_m):
+            pn, mn, nn = fused_adamw_leaf(
+                p, g, mu, nu, lr, wd if m else zero, c1, c2,
+                b1=self.b1, b2=self.b2, eps=self.eps,
+                use_pallas=self.use_pallas, interpret=self.interpret)
+            new_p.append(pn)
+            new_mu.append(mn)
+            new_nu.append(nn)
+        return (jax.tree.unflatten(treedef, new_p),
+                {"count": count + 1,
+                 "mu": jax.tree.unflatten(treedef, new_mu),
+                 "nu": jax.tree.unflatten(treedef, new_nu)})
+
+
+def make_fused_optimizer(cfg: TrainConfig, total_steps: int,
+                         use_pallas: bool = True,
+                         interpret: bool = False) -> FusedAdamW:
+    if cfg.gradient_accumulation_steps > 1:
+        raise ValueError("fused_optimizer does not support gradient "
+                         "accumulation; use the optax path")
+    sched = linear_warmup_decay(cfg.learning_rate, total_steps,
+                                cfg.warmup_proportion)
+    return FusedAdamW(sched, weight_decay=cfg.weight_decay,
+                      max_grad_norm=cfg.max_grad_norm,
+                      mu_dtype=cfg.adam_mu_dtype,
+                      nu_dtype=getattr(cfg, "adam_nu_dtype", "float32"),
+                      use_pallas=use_pallas, interpret=interpret)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
     sched = linear_warmup_decay(cfg.learning_rate, total_steps, cfg.warmup_proportion)
     parts = []

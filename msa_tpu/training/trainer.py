@@ -176,7 +176,13 @@ class Trainer:
             shardings = param_shardings(abstract, self.mesh)
             params = jax.jit(lambda k: init_mmbert_params(k, cfg),
                              out_shardings=shardings)(rng)
-        self.tx = make_optimizer(self.config.train, total_steps)
+        if self.config.train.fused_optimizer:
+            from .optim import make_fused_optimizer
+            self.tx = make_fused_optimizer(
+                self.config.train, total_steps,
+                use_pallas=self.on_tpu, interpret=not self.on_tpu)
+        else:
+            self.tx = make_optimizer(self.config.train, total_steps)
         opt_state = jax.jit(self.tx.init)(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))
@@ -231,9 +237,13 @@ class Trainer:
                 return losses["loss"], losses
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
-                                      state.params, updates)
+            if hasattr(tx, "apply"):  # FusedAdamW: in-place fused update
+                new_params, new_opt = tx.apply(state.params, grads,
+                                               state.opt_state)
+            else:
+                updates, new_opt = tx.update(grads, state.opt_state, state.params)
+                new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                          state.params, updates)
             new_state = TrainState(params=new_params, opt_state=new_opt,
                                    step=state.step + 1)
             # mlm_overflow: positions dropped by the MLM gather cap -- must

@@ -203,7 +203,10 @@ class TrainConfig:
     adam_nu_dtype: str = "float32"
     # Run the AdamW update as one fused Pallas pass per tensor
     # (training/optim.py::FusedAdamW); semantics identical to the optax
-    # path, measured faster on the bandwidth-bound update.  Requires
+    # path.  Measured SLOWER on the v5e flagship step (315.2 vs 311.4 ms,
+    # BENCH.md round 2: XLA's update fusions overlap with the backward
+    # while per-tensor custom-calls serialize), so it defaults off; kept
+    # for regimes with many small tensors.  Requires
     # gradient_accumulation_steps == 1.
     fused_optimizer: bool = False
     # Include the global gradient norm in per-step train metrics (one extra

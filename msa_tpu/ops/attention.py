@@ -445,7 +445,10 @@ def multi_head_attention(
     if short:
         # Whole-sequence kernel in the NATURAL [B, S, H] layout: no
         # head-split transposes, no [B,N,S,S] HBM buffers, in-kernel dropout.
-        from .short_attention import short_attention
+        # v2 = block-diagonal head packing: 2x fewer MXU instructions per
+        # program; measured 1.25->0.81 (joint) / 0.52->0.38 (text) ms/layer
+        # fwd+bwd on v5e vs the per-head-loop v1 (BENCH.md round 2).
+        from .short_attention import short_attention_v2
         key_bias = bias[:, 0, 0, :]
         if dropout_active:
             seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1,
@@ -453,8 +456,8 @@ def multi_head_attention(
             rate = float(dropout_rate)
         else:
             seed, rate = None, 0.0
-        return short_attention(q, k, v, key_bias, seed, num_heads, rate,
-                               not on_tpu)
+        return short_attention_v2(q, k, v, key_bias, seed, num_heads, rate,
+                                  not on_tpu)
 
     if flash:
         key_bias = bias[:, 0, 0, :]  # [B, S]

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from msa_tpu.ops.attention import _xla_attention, multi_head_attention
-from msa_tpu.ops.short_attention import short_attention
+from msa_tpu.ops.short_attention import short_attention, short_attention_v2
 
 
 def make(b=3, s=40, h=64, seed=0):
@@ -30,25 +30,27 @@ def xla_ref(q, k, v, mask, n):
     return ctx.reshape(b, s, h)
 
 
+@pytest.mark.parametrize("impl", [short_attention, short_attention_v2])
 @pytest.mark.parametrize("s,h,n", [(8, 32, 2), (40, 64, 4), (80, 128, 2),
                                    (40, 64, 8)])
-def test_short_matches_xla(s, h, n):
+def test_short_matches_xla(impl, s, h, n):
     q, k, v, mask = make(s=s, h=h)
     key_bias = jnp.asarray((1.0 - mask) * -10000.0)
-    out = short_attention(q, k, v, key_bias, None, n, 0.0, True)
+    out = impl(q, k, v, key_bias, None, n, 0.0, True)
     ref = xla_ref(q, k, v, mask, n)
     m = mask.astype(bool)
     np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
                                atol=1e-5, rtol=1e-5)
 
 
-def test_short_gradients_match_xla():
+@pytest.mark.parametrize("impl", [short_attention, short_attention_v2])
+def test_short_gradients_match_xla(impl):
     q, k, v, mask = make(s=40, h=64)
     key_bias = jnp.asarray((1.0 - mask) * -10000.0)
     w = jnp.asarray(mask)[:, :, None]
 
     def loss_short(q, k, v):
-        return jnp.sum(short_attention(q, k, v, key_bias, None, 4, 0.0, True) ** 2 * w)
+        return jnp.sum(impl(q, k, v, key_bias, None, 4, 0.0, True) ** 2 * w)
 
     def loss_ref(q, k, v):
         return jnp.sum(xla_ref(q, k, v, mask, 4) ** 2 * w)
@@ -72,11 +74,31 @@ def test_dispatch_short_for_small_seq():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_fully_masked_row_is_finite():
+@pytest.mark.parametrize("impl", [short_attention, short_attention_v2])
+def test_fully_masked_row_is_finite(impl):
     """A row whose keys are ALL masked must not produce NaNs (softmax over
     -1e9 everywhere)."""
     q, k, v, mask = make(s=16, h=32)
     mask[2, :] = 0  # entire batch row masked
     key_bias = jnp.asarray((1.0 - mask) * -10000.0)
-    out = short_attention(q, k, v, key_bias, None, 2, 0.0, True)
+    out = impl(q, k, v, key_bias, None, 2, 0.0, True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_v2_matches_v1_bf16_and_odd_batch():
+    """v2 (block-diagonal packing) == v1 at a bf16 multi-group shape with a
+    batch size that exercises the rows-per-block divisor logic (B=6)."""
+    rng = np.random.default_rng(3)
+    b, s, h, n = 6, 40, 256, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h)), jnp.bfloat16)
+    mask = np.ones((b, s), np.float32)
+    mask[0, 10:] = 0
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    o1 = short_attention(q, k, v, key_bias, None, n, 0.0, True)
+    o2 = short_attention_v2(q, k, v, key_bias, None, n, 0.0, True)
+    m = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(o1, np.float32)[m], np.asarray(o2, np.float32)[m],
+        atol=2e-2, rtol=2e-2)

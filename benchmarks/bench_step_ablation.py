@@ -64,7 +64,7 @@ def main():
     def time_train_variant(name, **cfg_updates):
         tr = Trainer(dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, **cfg_updates)))
-        if "adam_mu_dtype" in cfg_updates:
+        if "adam_mu_dtype" in cfg_updates or "adam_nu_dtype" in cfg_updates:
             from msa_tpu.training.optim import make_optimizer
             from msa_tpu.training.train_state import TrainState
             tr.tx = make_optimizer(tr.config.train, 10_000)
@@ -127,6 +127,10 @@ def main():
     if "full16" in variants:
         time_train_variant("remat_full+mu16", remat_policy="full",
                            adam_mu_dtype="bfloat16")
+    if "full16nu" in variants:
+        time_train_variant("remat_full+mu16+nu16", remat_policy="full",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
     if "wide16" in variants:
         time_train_variant("save_wide+mu16", remat_policy="save_wide",
                            adam_mu_dtype="bfloat16")

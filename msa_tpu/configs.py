@@ -198,8 +198,10 @@ class TrainConfig:
     # the (bandwidth-bound) update with no observed training difference; use
     # float32 for bit-exact torch AdamW parity.
     adam_mu_dtype: str = "float32"
-    # dtype for Adam's second moment (nu); only honored by the fused
-    # optimizer path.
+    # dtype for Adam's second moment (nu); honored by both the optax path
+    # (optim.scale_by_adam_casted) and the fused path.  bfloat16 shaves the
+    # update's nu read+write but costs ~3 relative digits on the
+    # denominator; float32 default.
     adam_nu_dtype: str = "float32"
     # Run the AdamW update as one fused Pallas pass per tensor
     # (training/optim.py::FusedAdamW); semantics identical to the optax

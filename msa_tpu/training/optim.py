@@ -144,25 +144,82 @@ def make_fused_optimizer(cfg: TrainConfig, total_steps: int,
                       use_pallas=use_pallas, interpret=interpret)
 
 
+def scale_by_adam_casted(b1=0.9, b2=0.999, eps=1e-6, eps_root=0.0,
+                         mu_dtype="float32", nu_dtype="float32"):
+    """optax.scale_by_adam with BOTH moments in configurable storage dtypes.
+
+    optax only exposes ``mu_dtype``; the second moment dominates the
+    bandwidth-bound update's traffic just the same.  Moments are updated in
+    float32 and stored in the given dtypes; with float32/float32 this is
+    bit-identical to ``optax.scale_by_adam`` (pinned in tests/test_optim.py).
+    """
+    import jax.numpy as jnp
+
+    mu_dt = jnp.dtype(mu_dtype)
+    nu_dt = jnp.dtype(nu_dtype)
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(lambda p: jnp.zeros(p.shape, mu_dt), params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, nu_dt), params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        c1 = 1.0 - jnp.power(jnp.float32(b1), t)
+        c2 = 1.0 - jnp.power(jnp.float32(b2), t)
+
+        def upd(g, mu, nu):
+            g32 = g.astype(jnp.float32)
+            mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
+            nu32 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            u = (mu32 / c1) / (jnp.sqrt(nu32 / c2 + eps_root) + eps)
+            return u, mu32.astype(mu_dt), nu32.astype(nu_dt)
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        out = [upd(g, mu, nu) for g, mu, nu in zip(flat_g, flat_mu, flat_nu)]
+        updates = jax.tree.unflatten(treedef, [o[0] for o in out])
+        new_mu = jax.tree.unflatten(treedef, [o[1] for o in out])
+        new_nu = jax.tree.unflatten(treedef, [o[2] for o in out])
+        return updates, optax.ScaleByAdamState(count=count, mu=new_mu,
+                                               nu=new_nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
     sched = linear_warmup_decay(cfg.learning_rate, total_steps, cfg.warmup_proportion)
+    mu_dtype = getattr(cfg, "adam_mu_dtype", "float32")
+    nu_dtype = getattr(cfg, "adam_nu_dtype", "float32")
     parts = []
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         parts.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    parts.append(
-        optax.adamw(
-            learning_rate=sched,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-6,
-            weight_decay=cfg.weight_decay,
-            mask=decay_mask,
-            # bf16 mu halves the first moment's read+write in the
-            # bandwidth-bound fused update (same exponent range as f32);
-            # keep float32 (default) for bit-exact torch parity.
-            mu_dtype=getattr(cfg, "adam_mu_dtype", "float32"),
+    if nu_dtype == "float32":
+        # the stock, battle-tested path; bf16 mu halves the first moment's
+        # read+write in the bandwidth-bound update (same exponent range as
+        # f32); keep float32 (default) for bit-exact torch parity.
+        parts.append(
+            optax.adamw(
+                learning_rate=sched,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-6,
+                weight_decay=cfg.weight_decay,
+                mask=decay_mask,
+                mu_dtype=mu_dtype,
+            )
         )
-    )
+    else:
+        # custom kernel of the same update with nu also stored compactly
+        parts.append(scale_by_adam_casted(mu_dtype=mu_dtype,
+                                          nu_dtype=nu_dtype))
+        parts.append(optax.add_decayed_weights(cfg.weight_decay,
+                                               mask=decay_mask))
+        parts.append(optax.scale_by_learning_rate(sched))
     tx = optax.chain(*parts)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)

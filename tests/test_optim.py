@@ -34,6 +34,58 @@ def test_schedule_warmup_then_decay():
     assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
 
 
+def test_scale_by_adam_casted_matches_optax_adamw():
+    """The custom nu-dtype path (f32/f32 storage) is bit-identical to
+    optax.adamw over several steps; bf16 nu tracks it closely."""
+    import dataclasses
+
+    from msa_tpu.training.optim import scale_by_adam_casted
+
+    rng = np.random.default_rng(0)
+    params = {"w": {"kernel": jnp.asarray(rng.standard_normal((4, 3)),
+                                          jnp.float32),
+                    "bias": jnp.zeros((3,), jnp.float32)}}
+    tc = TrainConfig(learning_rate=3e-3, warmup_proportion=0.0,
+                     weight_decay=0.01)
+    ref_tx = make_optimizer(tc, 20)  # nu float32 -> stock optax.adamw
+    cast_tx = make_optimizer(dataclasses.replace(tc, adam_nu_dtype="bfloat16"),
+                             20)
+    # stock vs custom with f32 storage: exact
+    sched = linear_warmup_decay(tc.learning_rate, 20, 0.0)
+    exact_tx = optax.chain(scale_by_adam_casted(),
+                           optax.add_decayed_weights(0.01, mask=decay_mask),
+                           optax.scale_by_learning_rate(sched))
+
+    p_ref, s_ref = dict(params), ref_tx.init(params)
+    p_ex, s_ex = dict(params), exact_tx.init(params)
+    p_c, s_c = dict(params), cast_tx.init(params)
+    for i in range(5):
+        g = {"w": {"kernel": jnp.asarray(rng.standard_normal((4, 3)),
+                                         jnp.float32),
+                   "bias": jnp.asarray(rng.standard_normal((3,)),
+                                       jnp.float32)}}
+        u, s_ref = ref_tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        u, s_ex = exact_tx.update(g, s_ex, p_ex)
+        p_ex = optax.apply_updates(p_ex, u)
+        u, s_c = cast_tx.update(g, s_c, p_c)
+        p_c = optax.apply_updates(p_c, u)
+    np.testing.assert_array_equal(np.asarray(p_ref["w"]["kernel"]),
+                                  np.asarray(p_ex["w"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(p_ref["w"]["bias"]),
+                                  np.asarray(p_ex["w"]["bias"]))
+    # bf16 nu: same trajectory within bf16 denominator precision
+    np.testing.assert_allclose(np.asarray(p_ref["w"]["kernel"]),
+                               np.asarray(p_c["w"]["kernel"]),
+                               rtol=0, atol=2e-4)
+    # and the nu state is actually stored compactly
+    is_adam = lambda x: isinstance(x, optax.ScaleByAdamState)
+    adam_states = [s for s in jax.tree_util.tree_leaves(s_c, is_leaf=is_adam)
+                   if is_adam(s)]
+    assert adam_states
+    assert adam_states[0].nu["w"]["kernel"].dtype == jnp.bfloat16
+
+
 def test_gradient_accumulation_equivalence():
     """MultiSteps(k=2) over half-batches == one step over the full batch."""
     tc1 = TrainConfig(learning_rate=1e-2, warmup_proportion=0.0,

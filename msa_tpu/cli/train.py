@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlm", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--mlm_probability", type=float, default=0.15)
     p.add_argument("--max_seq_length", type=int, default=40)
+    p.add_argument("--pair_seq_length", type=int, default=None,
+                   help="frame-level mode: keep visual/speech at native "
+                        "frame rate with this fixed length Lp (joint pass "
+                        "runs over max_seq_length + Lp tokens); default: "
+                        "word-aligned, Lp == max_seq_length")
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=1.0)
     # msa_tpu additions
@@ -90,13 +95,15 @@ def load_splits(args) -> Tuple[MultimodalDataset, MultimodalDataset,
         splits = []
         for name in ("train", "val", "test"):
             fs = featurize(data[name], tokenizer, args.max_seq_length, vdim,
-                           sdim, args.dataset, args.emotion, args.num_labels)
+                           sdim, args.dataset, args.emotion, args.num_labels,
+                           pair_seq_length=args.pair_seq_length)
             splits.append(MultimodalDataset(fs, seed=args.seed))
         return splits[0], splits[1], splits[2], tokenizer
     n = args.synthetic or 256
     mk = lambda n_, s: MultimodalDataset(
         synthetic_split(n_, args.max_seq_length, vdim, sdim,
-                        num_labels=args.num_labels, seed=s), seed=s)
+                        num_labels=args.num_labels, seed=s,
+                        pair_seq_length=args.pair_seq_length), seed=s)
     return mk(n, 0), mk(max(n // 8, 8), 1), mk(max(n // 8, 8), 2), None
 
 
@@ -132,7 +139,9 @@ def main(argv=None):
         exp, data=dataclasses.replace(
             exp.data, dataset=args.dataset, mlm=args.mlm,
             mlm_probability=args.mlm_probability,
-            max_seq_length=args.max_seq_length, num_labels=args.num_labels))
+            max_seq_length=args.max_seq_length,
+            pair_seq_length=args.pair_seq_length,
+            num_labels=args.num_labels))
 
     mask_kwargs = {}
     if tokenizer is not None:

@@ -151,6 +151,12 @@ class DataConfig:
     emotion: str = "sentiment"
     num_labels: int = 1
     max_seq_length: int = 40  # ref train.py:38
+    # Frame-level mode (beyond-reference, SURVEY.md section 5.7 seam): keep
+    # visual/speech streams at native frame rate with their own fixed length
+    # Lp instead of word-aligning them to L; the joint passes then run over
+    # L + Lp tokens (the blockwise flash kernel dispatches at L+Lp >= 1024).
+    # None = reference behaviour (word-aligned, Lp == L).
+    pair_seq_length: Optional[int] = None
     mlm: bool = True
     mlm_probability: float = 0.15  # ref train.py:37
     # Probability a joint view keeps its aligned pair (ref MMBertDataset.py:148:
@@ -189,11 +195,15 @@ class TrainConfig:
     fuse_text_pass: bool = False
     # lax.scan unroll factor over encoder layers (compile time vs schedule).
     scan_unroll: int = 1
-    # remat policy: 'full' (recompute all), 'dots' (save all matmul outputs),
-    # or 'save_small' (save only [*, H]-wide outputs; recompute FFN +
-    # softmax).  Measured on v5e bert-large B=32: save_small 165.3 ms/step
-    # vs full 170.8 vs dots 169.8 -- see BENCH.md round-2 ablations.
-    remat_policy: str = "save_small"
+    # remat policy: 'auto' picks by step size, 'full' (recompute all),
+    # 'dots' (save all matmul outputs), 'save_small' (save only [*, H]-wide
+    # outputs; recompute FFN + softmax), 'save_wide' (save FFN tensors too).
+    # Measured on v5e bert-large with the v2 attention kernel (BENCH.md):
+    # B=32 save_small 152.4 ms vs full 154.4; B=64 full 291.8 vs
+    # save_small 295.9 (the 157 MB/layer stash round-trip overtakes the
+    # recompute); B=128 only full fits.  'auto' switches to full at
+    # >=8192 joint-pass tokens (B>=52 at L=40).
+    remat_policy: str = "auto"
     # dtype for Adam's first moment (mu): bfloat16 halves its HBM traffic in
     # the (bandwidth-bound) update with no observed training difference; use
     # float32 for bit-exact torch AdamW parity.

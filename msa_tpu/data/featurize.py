@@ -91,18 +91,30 @@ def featurize(
     dataset: str = "mosi",
     task: str = "sentiment",
     num_labels: int = 1,
+    pair_seq_length: int | None = None,
 ) -> FeaturizedSplit:
     """Convert raw pickle samples into a :class:`FeaturizedSplit`.
 
     ``samples`` entries are ``((words, visual, speech), label, segment)``
     as produced by preprocessing (ref pre_processing.py:121-126).
+
+    ``pair_seq_length=None`` (default) reproduces the reference layout:
+    frames are word-aligned and replicated per sub-token (inversion list,
+    ref train.py:159-176), so the pair streams share the text length L.
+    Setting it enables FRAME-LEVEL mode (beyond the reference, which can
+    only consume mmsdk-collapsed word-aligned features): the raw frame
+    streams are kept at their native rate, zero-padded/truncated to exactly
+    ``pair_seq_length`` rows, and the joint pass runs over L + Lp tokens --
+    the long-stream extension the blockwise flash kernel exists for
+    (SURVEY.md section 5.7).
     """
     n = len(samples)
     L = max_seq_length
+    Lp = pair_seq_length if pair_seq_length is not None else L
     ids = np.zeros((n, L), dtype=np.int32)
     mask = np.zeros((n, L), dtype=np.int32)
-    vis = np.zeros((n, L, visual_dim), dtype=np.float32)
-    spc = np.zeros((n, L, speech_dim), dtype=np.float32)
+    vis = np.zeros((n, Lp, visual_dim), dtype=np.float32)
+    spc = np.zeros((n, Lp, speech_dim), dtype=np.float32)
     targets = np.zeros((n,), dtype=np.float64)
     segments: List = []
     words_out: List = []
@@ -131,13 +143,19 @@ def featurize(
                 tokenizer.convert_tokens_to_ids(tokens), np.int32)
             inv = np.asarray(inversions, dtype=np.int64)
 
-        new_visual = visual[inv] if len(inv) else np.zeros((0, visual_dim), np.float32)
-        new_speech = speech[inv] if len(inv) else np.zeros((0, speech_dim), np.float32)
+        if pair_seq_length is None:
+            new_visual = visual[inv] if len(inv) else np.zeros((0, visual_dim), np.float32)
+            new_speech = speech[inv] if len(inv) else np.zeros((0, speech_dim), np.float32)
+        else:
+            # frame-level: native rate, no inversion replication
+            new_visual = visual.reshape(-1, visual_dim)[:Lp]
+            new_speech = speech.reshape(-1, speech_dim)[:Lp]
 
         if len(token_ids_all) > L - 2:
             token_ids_all = token_ids_all[: L - 2]
-            new_visual = new_visual[: L - 2]
-            new_speech = new_speech[: L - 2]
+            if pair_seq_length is None:
+                new_visual = new_visual[: L - 2]
+                new_speech = new_speech[: L - 2]
 
         t = len(token_ids_all)
         token_ids = token_ids_all
@@ -145,10 +163,11 @@ def featurize(
         ids[idx, 1 : t + 1] = token_ids
         ids[idx, t + 1] = sep_id
         mask[idx, : t + 2] = 1
-        # Frames occupy rows [0, t); row t is the zero SEP frame; the rest is
-        # zero padding (ref train.py:115-127 layout).
-        vis[idx, :t] = new_visual
-        spc[idx, :t] = new_speech
+        # Word-aligned mode: frames occupy rows [0, t); row t is the zero SEP
+        # frame; the rest is zero padding (ref train.py:115-127 layout).
+        # Frame-level mode: rows [0, n_frames) up to Lp.
+        vis[idx, : len(new_visual)] = new_visual
+        spc[idx, : len(new_speech)] = new_speech
 
         targets[idx] = select_target(label[0], dataset, task, num_labels)
         segments.append(segment)
@@ -175,24 +194,32 @@ def synthetic_split(
     vocab_size: int = 30522,
     num_labels: int = 1,
     seed: int = 0,
+    pair_seq_length: int | None = None,
 ) -> FeaturizedSplit:
-    """Random split with the real data layout; used by benchmarks and tests."""
+    """Random split with the real data layout; used by benchmarks and tests.
+
+    ``pair_seq_length`` mirrors :func:`featurize`'s frame-level mode: the
+    visual/speech streams get their own (typically longer) length Lp.
+    """
     rng = np.random.default_rng(seed)
     L = max_seq_length
+    Lp = pair_seq_length if pair_seq_length is not None else L
     lengths = rng.integers(5, L - 2, size=n, endpoint=True)
+    frame_counts = (lengths if pair_seq_length is None
+                    else rng.integers(Lp // 2, Lp, size=n, endpoint=True))
     ids = np.zeros((n, L), dtype=np.int32)
     mask = np.zeros((n, L), dtype=np.int32)
-    vis = np.zeros((n, L, visual_dim), dtype=np.float32)
-    spc = np.zeros((n, L, speech_dim), dtype=np.float32)
+    vis = np.zeros((n, Lp, visual_dim), dtype=np.float32)
+    spc = np.zeros((n, Lp, speech_dim), dtype=np.float32)
     low = min(999, max(vocab_size // 4, 5))
-    for i, t in enumerate(lengths):
-        t = int(t)
+    for i, (t, f) in enumerate(zip(lengths, frame_counts)):
+        t, f = int(t), int(f)
         ids[i, 0] = 101 if vocab_size > 103 else 2
         ids[i, 1 : t + 1] = rng.integers(low, vocab_size, size=t)
         ids[i, t + 1] = 102 if vocab_size > 103 else 3
         mask[i, : t + 2] = 1
-        vis[i, :t] = rng.standard_normal((t, visual_dim), dtype=np.float32)
-        spc[i, :t] = rng.standard_normal((t, speech_dim), dtype=np.float32)
+        vis[i, :f] = rng.standard_normal((f, visual_dim), dtype=np.float32)
+        spc[i, :f] = rng.standard_normal((f, speech_dim), dtype=np.float32)
     if str(num_labels) in ("1", "7"):
         target = rng.uniform(-3, 3, size=n).astype(np.float32)
         if num_labels == 1:

@@ -214,8 +214,8 @@ def mmbert_forward(
     text_mask: jnp.ndarray,     # [B, L] 1/0
     tv_ids: jnp.ndarray,        # [B, L] masked text ids for the visual view
     ts_ids: jnp.ndarray,        # [B, L] masked text ids for the speech view
-    visual: jnp.ndarray,        # [B, L, Dv]
-    speech: jnp.ndarray,        # [B, L, Ds]
+    visual: jnp.ndarray,        # [B, Lp, Dv] (Lp == L unless frame-level)
+    speech: jnp.ndarray,        # [B, Lp, Ds]
     cfg: MMBertConfig,
     *,
     token_type_ids: Optional[jnp.ndarray] = None,
@@ -274,10 +274,11 @@ def mmbert_forward(
     mask_v = jnp.concatenate([text_mask, pair_frame_mask(visual)], axis=1)
     mask_s = jnp.concatenate([text_mask, pair_frame_mask(speech)], axis=1)
 
+    lp = visual.shape[1]  # pair length; == l unless frame-level mode
     if fuse_text_pass:
-        # ---- ONE encoder call over [3B, 2L] ----
-        emb_t_pad = jnp.pad(emb_t, ((0, 0), (0, l), (0, 0)))
-        mask_t_pad = jnp.pad(text_mask, ((0, 0), (0, l)))
+        # ---- ONE encoder call over [3B, L+Lp] ----
+        emb_t_pad = jnp.pad(emb_t, ((0, 0), (0, lp), (0, 0)))
+        mask_t_pad = jnp.pad(text_mask, ((0, 0), (0, lp)))
         x_all = jnp.concatenate([emb_t_pad, joint_v, joint_s], axis=0)
         bias_all = extended_attention_mask(
             jnp.concatenate([mask_t_pad, mask_v, mask_s], axis=0))
@@ -392,7 +393,9 @@ def mmbert_loss(
 ) -> Dict[str, jnp.ndarray]:
     """Assemble the joint loss (ref MMBertForPretraining.py:427-443)."""
     b, l = mlm_labels_text.shape
-    ignore = jnp.full((b, l), L.IGNORE_INDEX, mlm_labels_text.dtype)
+    # pair half may be longer than the text half (frame-level mode)
+    lp = outputs["seq_joint"].shape[1] - l
+    ignore = jnp.full((b, lp), L.IGNORE_INDEX, mlm_labels_text.dtype)
     # Deviation (f): pair half carries no language, so no MLM supervision.
     labels_v = jnp.concatenate([mlm_labels_tv, ignore], axis=1)
     labels_s = jnp.concatenate([mlm_labels_ts, ignore], axis=1)

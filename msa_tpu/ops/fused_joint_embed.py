@@ -45,20 +45,20 @@ def _kernel(text_ref, feats_ref, w_ref, b_ref, scale_ref, bias_ref, out_ref,
 
 def _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret):
     bsz, l, h = text_emb.shape
-    d = feats.shape[-1]
+    lp, d = feats.shape[1], feats.shape[-1]  # lp == l unless frame-level
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((bsz, 2 * l, h), text_emb.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, l + lp, h), text_emb.dtype),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, l, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((d, h), lambda i: (0, 0)),
             pl.BlockSpec((1, h), lambda i: (0, 0)),
             pl.BlockSpec((1, h), lambda i: (0, 0)),
             pl.BlockSpec((1, h), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2 * l, h), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, l + lp, h), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(text_emb, feats, w, b[None, :], scale[None, :], bias[None, :])
 
@@ -79,7 +79,7 @@ def _ref_forward(text_emb, feats, w, b, scale, bias, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12,
                       interpret=False):
-    """[B, L, H] text embeddings + [B, L, D] frames -> [B, 2L, H].
+    """[B, L, H] text embeddings + [B, Lp, D] frames -> [B, L+Lp, H].
 
     ``interpret=True`` runs the Pallas kernel in interpret mode (CPU
     testing); resolve on the host, never sniffed at trace time.

@@ -191,6 +191,23 @@ class Trainer:
     # Steps
     # ------------------------------------------------------------------
 
+    def _resolve_remat_policy(self) -> str:
+        """'auto' -> 'full' for big steps, 'save_small' for small ones.
+
+        Measured v5e crossover (BENCH.md round 2, v2 attention kernel): the
+        save_small stash's HBM round-trip (~157 MB/layer) overtakes the
+        full-remat recompute once the joint pass carries >=8192 tokens
+        (B=64 at L=40: full 291.8 ms vs save_small 295.9; B=32: save_small
+        152.4 vs full 154.4).
+        """
+        policy = self.config.train.remat_policy
+        if policy != "auto":
+            return policy
+        l = self.config.data.max_seq_length
+        lp = self.config.data.pair_seq_length or l
+        joint_tokens = 2 * self.config.train.train_batch_size * (l + lp)
+        return "full" if joint_tokens >= 8192 else "save_small"
+
     def _build_train_step(self):
         cfg = self.config.model
         tc = self.config.train
@@ -202,6 +219,7 @@ class Trainer:
         compute_dtype = self.compute_dtype
         use_flash = tc.use_flash_attention
         on_tpu = self.on_tpu
+        remat_policy = self._resolve_remat_policy()
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                        base_rng: jax.Array):
@@ -227,7 +245,7 @@ class Trainer:
                     remat=tc.remat, mlm_scores=False,
                     fuse_text_pass=tc.fuse_text_pass,
                     unroll=tc.scan_unroll,
-                    remat_policy=tc.remat_policy,
+                    remat_policy=remat_policy,
                 )
                 losses = mmbert_loss(
                     params, out, t_lab, tv_lab, ts_lab,
@@ -485,7 +503,8 @@ class Trainer:
     def step_flops(self) -> float:
         return mmbert_step_flops(self.config.model,
                                  self.config.train.train_batch_size,
-                                 self.config.data.max_seq_length)
+                                 self.config.data.max_seq_length,
+                                 pair_seq=self.config.data.pair_seq_length)
 
     def mfu(self, samples_per_sec: float) -> float:
         per_step = self.step_flops()

@@ -30,12 +30,18 @@ def encoder_flops(batch: int, seq: int, hidden: int, inter: int, layers: int) ->
 
 
 def mmbert_step_flops(cfg: MMBertConfig, batch: int, seq: int,
-                      backward: bool = True, gathered_mlm: bool = True) -> float:
-    """Matmul FLOPs of one MMBert train step (3 passes + MLM heads)."""
+                      backward: bool = True, gathered_mlm: bool = True,
+                      pair_seq: int | None = None) -> float:
+    """Matmul FLOPs of one MMBert train step (3 passes + MLM heads).
+
+    ``pair_seq``: frame-level pair length Lp (None = word-aligned, Lp = L);
+    the joint passes run over seq + pair_seq tokens.
+    """
     b = cfg.bert
+    lp = pair_seq if pair_seq is not None else seq
     fwd = encoder_flops(batch, seq, b.hidden_size, b.intermediate_size,
                         b.num_hidden_layers)
-    fwd += encoder_flops(2 * batch, 2 * seq, b.hidden_size, b.intermediate_size,
+    fwd += encoder_flops(2 * batch, seq + lp, b.hidden_size, b.intermediate_size,
                          b.num_hidden_layers)
     if gathered_mlm:
         # masked-position gather: 3 views x cap positions (see mmbert_loss)

@@ -111,6 +111,20 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y + p["bias"].astype(x.dtype)
 
 
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """BERT's gelu, precision-adaptive.
+
+    The reference (HF transformers) uses the exact erf formulation; on the
+    TPU VPU erf costs ~17x tanh (measured 1854 vs 108 us on a [10240, 4096]
+    bf16 activation, benchmarks/bench_gelu.py).  The tanh approximation's
+    error (<0.1% of scale, worst near |x|~2) is BELOW bf16's own ~0.4%
+    rounding, so in bf16 compute it is numerically free and we take it; f32
+    keeps exact erf (golden parity vs HF, tests/test_bert_golden.py --
+    matching the f32-LN / HIGHEST-precision policy above).
+    """
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
              deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0 or key is None:
@@ -220,7 +234,7 @@ def bert_encoder(
         up = checkpoint_name(dense(h, lp["wi"]), "ffn_wide")
         # gelu in the compute dtype: in bf16 this halves FFN activation
         # traffic; in f32 it is exact (golden parity).
-        up = checkpoint_name(jax.nn.gelu(up, approximate=False), "ffn_wide")
+        up = checkpoint_name(gelu(up), "ffn_wide")
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
         h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)

@@ -48,6 +48,7 @@ from .bert import (
     bert_pooler,
     dense,
     extended_attention_mask,
+    gelu,
     init_bert_params,
     layer_norm,
     matmul_precision,
@@ -160,7 +161,7 @@ def mlm_logits(params: Params, sequence_output: jnp.ndarray,
     """
     cp = params["cls"]
     x = dense(sequence_output, cp["transform_dense"])
-    x = jax.nn.gelu(x, approximate=False)
+    x = gelu(x)
     x = layer_norm(x, cp["transform_ln"], cfg.bert.layer_norm_eps)
     word = params["bert"]["embeddings"]["word"].astype(x.dtype)
     logits = jnp.einsum("...h,vh->...v", x, word, preferred_element_type=jnp.float32,

@@ -95,6 +95,26 @@ def test_padded_positions_dont_affect_real_ones(torch_model, inputs):
     np.testing.assert_allclose(np.asarray(seq1)[m], np.asarray(seq2)[m], atol=1e-5)
 
 
+def test_gelu_bf16_approx_within_rounding():
+    """bf16 compute uses tanh-approx gelu (17x faster on the TPU VPU); its
+    extra error over exact erf must stay within bf16's own rounding floor
+    (f32 keeps exact erf -- that's what the golden tests above pin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models.bert import gelu
+
+    x32 = jnp.linspace(-6, 6, 4097, dtype=jnp.float32)
+    exact = np.asarray(jax.nn.gelu(x32, approximate=False))
+    # f32 path is exact erf
+    np.testing.assert_array_equal(np.asarray(gelu(x32)), exact)
+    approx = np.asarray(gelu(x32.astype(jnp.bfloat16)).astype(jnp.float32))
+    rounding_floor = np.abs(
+        np.asarray(exact.astype(np.float32)).astype(jnp.bfloat16)
+        .astype(np.float32) - exact).max()
+    assert np.abs(approx - exact).max() < 1.25 * rounding_floor + 1e-6
+
+
 def test_mlm_head_matches_torch(inputs):
     """Tied-decoder MLM head vs HF BertForPreTraining cls.predictions."""
     from msa_tpu.configs import MMBertConfig

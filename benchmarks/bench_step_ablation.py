@@ -127,6 +127,9 @@ def main():
     if "full16" in variants:
         time_train_variant("remat_full+mu16", remat_policy="full",
                            adam_mu_dtype="bfloat16")
+    if "attn16" in variants:
+        time_train_variant("save_attn+mu16", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16")
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

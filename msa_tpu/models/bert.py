@@ -207,12 +207,15 @@ def bert_encoder(
         else:
             k_attn = k_post = k_mlp = None
         # --- self attention ---
-        # 'narrow' names mark the [*, H]-wide dot outputs: the save_small
-        # remat policy keeps exactly these (cheap to store) and recomputes
-        # the [*, 4H] FFN tensors, which dominate activation memory.
-        q = checkpoint_name(dense(h, lp["q"]), "narrow")
-        k = checkpoint_name(dense(h, lp["k"]), "narrow")
-        v = checkpoint_name(dense(h, lp["v"]), "narrow")
+        # Checkpoint names mark the [*, H]-wide dot outputs for the remat
+        # policies below: 'attn_io' = q/k/v/ctx (saving these lets backward
+        # skip BOTH the QKV projections' recompute and re-running the
+        # attention kernel -- its custom-vjp residuals are exactly q/k/v);
+        # 'narrow' = the remaining H-wide outputs.  save_small keeps both
+        # sets; save_attn keeps only 'attn_io'.
+        q = checkpoint_name(dense(h, lp["q"]), "attn_io")
+        k = checkpoint_name(dense(h, lp["k"]), "attn_io")
+        v = checkpoint_name(dense(h, lp["v"]), "attn_io")
         ctx = checkpoint_name(multi_head_attention(
             q, k, v, attn_bias,
             num_heads=cfg.num_attention_heads,
@@ -221,7 +224,7 @@ def bert_encoder(
             deterministic=deterministic,
             use_flash=use_flash,
             on_tpu=on_tpu,
-        ), "narrow")
+        ), "attn_io")
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
         h = checkpoint_name(
@@ -253,7 +256,13 @@ def bert_encoder(
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":
-            policy = jax.checkpoint_policies.save_only_these_names("narrow")
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_io", "narrow")
+        elif remat_policy == "save_attn":
+            # Save only q/k/v/ctx: backward skips the attention kernel's
+            # forward recompute and the QKV projections (~2/3 of
+            # save_small's stash bytes), recomputes o-proj/LN/FFN.
+            policy = jax.checkpoint_policies.save_only_these_names("attn_io")
         elif remat_policy == "save_wide":
             # Save the narrow set AND the [*, 4H] FFN tensors; backward
             # recomputes only elementwise leftovers (LN stats, dropout
@@ -261,7 +270,7 @@ def bert_encoder(
             # here -- excluding gelu's input/output just makes jax save
             # gelu's equally-wide INTERNAL intermediates instead (verified).
             policy = jax.checkpoint_policies.save_only_these_names(
-                "narrow", "ffn_wide")
+                "attn_io", "narrow", "ffn_wide")
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)

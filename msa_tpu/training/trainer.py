@@ -192,21 +192,28 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _resolve_remat_policy(self) -> str:
-        """'auto' -> 'full' for big steps, 'save_small' for small ones.
+        """'auto' -> 'save_attn' when its stash fits HBM, else 'full'.
 
-        Measured v5e crossover (BENCH.md round 2, v2 attention kernel): the
-        save_small stash's HBM round-trip (~157 MB/layer) overtakes the
-        full-remat recompute once the joint pass carries >=8192 tokens
-        (B=64 at L=40: full 291.8 ms vs save_small 295.9; B=32: save_small
-        152.4 vs full 154.4).
+        save_attn (save q/k/v/ctx; skip the attention kernel's and the QKV
+        projections' backward recompute) measured fastest everywhere it
+        fits on v5e (BENCH.md round 2: B=64 250.8 ms vs full 266.0 vs
+        save_small 295.9; B=32 134.2 vs save_small 136.0); at B=128 its
+        ~9 GB stash OOMs a 16 GB chip and full remat is the only fit.
+        The stash estimate is 4 tensors x tokens x H x 2 bytes x layers,
+        sharded over the mesh; 7 GB/chip leaves room for params + Adam
+        state + grads + XLA workspace.
         """
         policy = self.config.train.remat_policy
         if policy != "auto":
             return policy
+        b = self.config.train.train_batch_size
         l = self.config.data.max_seq_length
         lp = self.config.data.pair_seq_length or l
-        joint_tokens = 2 * self.config.train.train_batch_size * (l + lp)
-        return "full" if joint_tokens >= 8192 else "save_small"
+        tokens = b * l + 2 * b * (l + lp)
+        bert = self.config.model.bert
+        stash = 4 * tokens * bert.hidden_size * 2 * bert.num_hidden_layers
+        stash /= max(self.mesh.devices.size, 1)
+        return "save_attn" if stash < 7e9 else "full"
 
     def _build_train_step(self):
         cfg = self.config.model

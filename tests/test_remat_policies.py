@@ -1,0 +1,58 @@
+"""Remat policies change memory/time only -- NEVER the math.
+
+Pins loss + grads across every remat_policy (and no-remat) on a tiny
+config; a policy whose checkpoint names drift out of sync with the
+checkpoint_name() markers in models/bert.py would silently degrade to
+full recompute or break -- this test catches the breakage half.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msa_tpu.configs import MMBertConfig, tiny_bert_config
+from msa_tpu.data.dataset import MultimodalDataset
+from msa_tpu.data.featurize import synthetic_split
+from msa_tpu.models.mmbert import init_mmbert_params, mmbert_forward, mmbert_loss
+from msa_tpu.ops import masking
+
+POLICIES = ["full", "dots", "save_small", "save_attn", "save_wide"]
+
+
+def _loss_and_grad(remat, policy):
+    cfg = MMBertConfig(bert=tiny_bert_config(), visual_dim=5, speech_dim=7)
+    split = synthetic_split(4, 12, 5, 7, vocab_size=cfg.bert.vocab_size, seed=0)
+    b = next(MultimodalDataset(split, seed=0).epoch_batches(0, 4))
+    params = init_mmbert_params(jax.random.key(0), cfg)
+    ids = jnp.asarray(b["text_ids"])
+    kt, kv, ks = jax.random.split(jax.random.key(1), 3)
+    t_ids, t_lab = masking.mask_tokens(kt, ids, 0.15, 4, (0, 2, 3, 4))
+    tv_ids, tv_lab = masking.mask_tokens(kv, ids, 0.15, 4, (0, 2, 3, 4))
+    ts_ids, ts_lab = masking.mask_tokens(ks, ids, 0.15, 4, (0, 2, 3, 4))
+
+    def loss_fn(p):
+        out = mmbert_forward(p, t_ids, jnp.asarray(b["text_mask"]), tv_ids,
+                             ts_ids, jnp.asarray(b["visual"]),
+                             jnp.asarray(b["speech"]), cfg,
+                             deterministic=True, mlm_scores=False,
+                             remat=remat, remat_policy=policy)
+        return mmbert_loss(p, out, t_lab, tv_lab, ts_lab,
+                           jnp.asarray(b["visual_ap"]),
+                           jnp.asarray(b["speech_ap"]),
+                           jnp.asarray(b["target"]), cfg,
+                           weights=jnp.asarray(b["weight"]))["loss"]
+
+    l, g = jax.value_and_grad(loss_fn)(params)
+    return float(l), g
+
+
+@pytest.mark.parametrize("policy", POLICIES)
+def test_remat_policy_matches_no_remat(policy):
+    l_ref, g_ref = _loss_and_grad(remat=False, policy="full")
+    l, g = _loss_and_grad(remat=True, policy=policy)
+    assert l == pytest.approx(l_ref, abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -19,9 +19,10 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="bert-large-uncased")
-    # B=64 is the measured throughput/MFU sweet spot on v5e (BENCH.md
-    # round-2 ablations: 205.5 samples/s vs 200 at B=32, 199.6 at B=128).
-    p.add_argument("--batch_size", type=int, default=64)
+    # B=96 is the measured sweet spot on v5e with save_attn remat (BENCH.md
+    # round 2: 265.4 samples/s; plateau 96-120, B=64 257.1, B=128 OOMs
+    # save_attn and drops to 213.9 under full remat).
+    p.add_argument("--batch_size", type=int, default=96)
     p.add_argument("--max_seq_length", type=int, default=40)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)

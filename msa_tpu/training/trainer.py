@@ -197,11 +197,13 @@ class Trainer:
         save_attn (save q/k/v/ctx; skip the attention kernel's and the QKV
         projections' backward recompute) measured fastest everywhere it
         fits on v5e (BENCH.md round 2: B=64 250.8 ms vs full 266.0 vs
-        save_small 295.9; B=32 134.2 vs save_small 136.0); at B=128 its
-        ~9 GB stash OOMs a 16 GB chip and full remat is the only fit.
-        The stash estimate is 4 tensors x tokens x H x 2 bytes x layers,
-        sharded over the mesh; 7 GB/chip leaves room for params + Adam
-        state + grads + XLA workspace.
+        save_small 295.9; B=32 134.2 vs save_small 136.0); at B=128 it
+        OOMs a 16 GB chip and full remat is the only fit.  The stash
+        estimate is 5 tensors (q/k/v/ctx + the scan-carried layer input
+        jax.checkpoint saves as the primal) x tokens x H x 2 bytes x
+        layers, sharded over the mesh.  Measured fit boundary on 16 GB
+        v5e bert-large: B=120 (5.9 GB) fits, B=128 (6.3 GB) OOMs ->
+        threshold 6 GB/chip.
         """
         policy = self.config.train.remat_policy
         if policy != "auto":
@@ -211,9 +213,9 @@ class Trainer:
         lp = self.config.data.pair_seq_length or l
         tokens = b * l + 2 * b * (l + lp)
         bert = self.config.model.bert
-        stash = 4 * tokens * bert.hidden_size * 2 * bert.num_hidden_layers
+        stash = 5 * tokens * bert.hidden_size * 2 * bert.num_hidden_layers
         stash /= max(self.mesh.devices.size, 1)
-        return "save_attn" if stash < 7e9 else "full"
+        return "save_attn" if stash < 6e9 else "full"
 
     def _build_train_step(self):
         cfg = self.config.model

@@ -130,6 +130,12 @@ def main():
     if "attn16" in variants:
         time_train_variant("save_attn+mu16", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16")
+    if "attn16u" in variants:
+        time_train_variant("save_attn+mu16+unroll24", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16", scan_unroll=24)
+    if "attn16u4" in variants:
+        time_train_variant("save_attn+mu16+unroll4", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16", scan_unroll=4)
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

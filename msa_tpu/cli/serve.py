@@ -1,0 +1,125 @@
+"""Streaming inference service: JSONL requests in, predictions out.
+
+The reference has no serving path at all (its only inference is the
+crashed bs=1 sampling loop, ref sampling.py:314-330).  This CLI wraps the
+batched :class:`msa_tpu.inference.Predictor` (load once, jit once) as a
+line protocol suitable for piping or supervising as a worker process:
+
+    python -m msa_tpu.cli.serve --checkpoint model_save/<run> \
+        --vocab vocab.txt < requests.jsonl > predictions.jsonl
+
+One JSON object per input line:
+
+    {"id": "any", "words": ["i", "love", "it"],
+     "visual": [[...frame...], ...], "speech": [[...frame...], ...]}
+
+``visual``/``speech`` are optional (zero-filled when absent -- text-only
+sentiment).  Each output line echoes ``id`` and adds ``prediction``.
+Lines are micro-batched up to the Predictor's batch size; an invalid line
+produces an ``{"id": ..., "error": ...}`` line instead of killing the
+service.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="run dir (latest epoch) or direct epoch dir")
+    p.add_argument("--model_num", type=int, default=None,
+                   help="select a specific retained epoch checkpoint "
+                        "(ref sampling.py --model_num)")
+    p.add_argument("--vocab", required=True, help="BERT wordpiece vocab.txt")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--input", default=None,
+                   help="JSONL file (default: stdin)")
+    p.add_argument("--output", default=None,
+                   help="JSONL file (default: stdout)")
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+def featurize_request(req, tokenizer, L, Lp, vdim, sdim):
+    words = [str(w) for w in req["words"]]
+    visual = np.asarray(req.get("visual", []), np.float32).reshape(-1, vdim) \
+        if req.get("visual") else np.zeros((len(words), vdim), np.float32)
+    speech = np.asarray(req.get("speech", []), np.float32).reshape(-1, sdim) \
+        if req.get("speech") else np.zeros((len(words), sdim), np.float32)
+    from ..data.featurize import featurize
+    sample = ((words, visual, speech), [np.array([0.0])], req.get("id"))
+    return featurize([sample], tokenizer, L, vdim, sdim, "mosi", "sentiment",
+                     1, pair_seq_length=Lp)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..data.fast_wordpiece import FastTokenizer
+    from ..inference import Predictor
+
+    predictor = Predictor.from_checkpoint(args.checkpoint,
+                                          batch_size=args.batch_size,
+                                          model_num=args.model_num)
+    cfg = predictor.config
+    L = cfg.data.max_seq_length
+    Lp = cfg.data.pair_seq_length
+    vdim, sdim = cfg.model.visual_dim, cfg.model.speech_dim
+    tokenizer = FastTokenizer(args.vocab)
+
+    fin = open(args.input) if args.input else sys.stdin
+    fout = open(args.output, "w") if args.output else sys.stdout
+
+    pending: list = []  # (id, FeaturizedSplit)
+
+    def flush():
+        if not pending:
+            return
+        ids = np.concatenate([s.input_ids for _, s in pending])
+        mask = np.concatenate([s.attention_mask for _, s in pending])
+        vis = np.concatenate([s.visual for _, s in pending])
+        spc = np.concatenate([s.speech for _, s in pending])
+        preds = predictor.predict_arrays(ids, mask, vis, spc)
+        for (rid, _), pred in zip(pending, preds):
+            fout.write(json.dumps({"id": rid, "prediction": float(pred)}) + "\n")
+        fout.flush()
+        pending.clear()
+
+    for line in fin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            split = featurize_request(req, tokenizer, L, Lp, vdim, sdim)
+        except Exception as e:  # bad line must not kill the service
+            rid = None
+            try:
+                rid = json.loads(line).get("id")
+            except Exception:
+                pass
+            fout.write(json.dumps({"id": rid, "error": str(e)}) + "\n")
+            fout.flush()
+            continue
+        pending.append((req.get("id"), split))
+        if len(pending) >= args.batch_size:
+            flush()
+    flush()
+    if args.input:
+        fin.close()
+    if args.output:
+        fout.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Serving CLI: JSONL in -> predictions out, bad lines don't kill it."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from msa_tpu.configs import (
+    DataConfig, ExperimentConfig, MMBertConfig, TrainConfig, tiny_bert_config,
+)
+from msa_tpu.data.wordpiece import make_test_vocab
+from msa_tpu.models.mmbert import init_mmbert_params
+from msa_tpu.training.checkpoint import save_checkpoint
+from msa_tpu.training.optim import make_optimizer
+from msa_tpu.training.train_state import TrainState
+
+
+@pytest.fixture(scope="module")
+def checkpoint_and_vocab(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    vocab = make_test_vocab(extra_words=["love", "hate", "this", "movie"])
+    vocab_path = root / "vocab.txt"
+    with open(vocab_path, "w") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    bert = tiny_bert_config(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=len(vocab))
+    exp = ExperimentConfig(
+        model_name="tiny",
+        model=MMBertConfig(bert=bert, visual_dim=5, speech_dim=7, num_labels=1),
+        data=DataConfig(dataset="mosi", max_seq_length=12),
+        train=TrainConfig(compute_dtype="float32", data_parallel=1,
+                          use_flash_attention="never"),
+    )
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    tx = make_optimizer(exp.train, 10)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jax.numpy.zeros((), jax.numpy.int32))
+    ckpt = root / "ckpt"
+    save_checkpoint(str(ckpt), state, exp, epoch=0)
+    return str(ckpt), str(vocab_path)
+
+
+def test_serve_jsonl_roundtrip(checkpoint_and_vocab, tmp_path):
+    ckpt, vocab = checkpoint_and_vocab
+    reqs = [
+        {"id": "a", "words": ["love", "this", "movie"],
+         "visual": [[0.1] * 5] * 3, "speech": [[0.2] * 7] * 3},
+        {"id": "b", "words": ["hate", "this"]},          # modalities absent
+    ]
+    inp = tmp_path / "in.jsonl"
+    out = tmp_path / "out.jsonl"
+    with open(inp, "w") as f:
+        for r in reqs:
+            f.write(json.dumps(r) + "\n")
+        f.write("NOT JSON\n")                            # must not kill it
+        f.write(json.dumps({"id": "c", "words": ["movie"]}) + "\n")
+
+    from msa_tpu.cli.serve import main
+    rc = main(["--checkpoint", ckpt, "--vocab", vocab, "--batch_size", "2",
+               "--input", str(inp), "--output", str(out)])
+    assert rc == 0
+
+    lines = [json.loads(l) for l in open(out)]
+    by_id = {l.get("id"): l for l in lines}
+    assert set(by_id) == {"a", "b", "c", None}
+    for rid in ("a", "b", "c"):
+        assert np.isfinite(by_id[rid]["prediction"])
+        assert abs(by_id[rid]["prediction"]) <= 1.0      # tanh range
+    assert "error" in by_id[None]
+
+    # determinism: same request twice -> same prediction
+    rc = main(["--checkpoint", ckpt, "--vocab", vocab, "--batch_size", "1",
+               "--input", str(inp), "--output", str(out) + ".2"])
+    assert rc == 0
+    again = {l.get("id"): l for l in
+             (json.loads(l) for l in open(str(out) + ".2"))}
+    for rid in ("a", "b", "c"):
+        assert again[rid]["prediction"] == pytest.approx(
+            by_id[rid]["prediction"], abs=1e-6)

@@ -94,6 +94,24 @@ def main():
     float(jax.device_get(losses["loss"]))
     eval_sps = args.steps * args.batch_size / (time.perf_counter() - t0)
 
+    # serving throughput via the Predictor API (pipelined dispatch), bf16
+    # and the int8 MXU path
+    from msa_tpu.inference import Predictor
+    serve_split = synthetic_split(args.batch_size * 8, args.max_seq_length,
+                                  vdim, sdim,
+                                  vocab_size=exp.model.bert.vocab_size, seed=3)
+    serving = {}
+    for mode in (None, "int8"):
+        pred = Predictor(exp, state.params,
+                         batch_size=args.batch_size, quantize=mode)
+        pred.predict_split(serve_split)  # compile
+        t0 = time.perf_counter()
+        pred.predict_split(serve_split)
+        pred.predict_split(serve_split)
+        serve_dt = (time.perf_counter() - t0) / 2
+        serving["serving_samples_per_sec" + ("_int8" if mode else "")] = \
+            round(len(serve_split) / serve_dt, 1)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "torch_baseline.json")
     vs_baseline = None
@@ -115,6 +133,7 @@ def main():
             "step_ms": round(1000 * dt / args.steps, 2),
             "mfu": round(mfu, 4),
             "eval_samples_per_sec": round(eval_sps, 1),
+            **serving,
             "loss": float(jax.device_get(metrics["loss"])),
             "compute_dtype": args.compute_dtype,
             "device": str(jax.devices()[0]),

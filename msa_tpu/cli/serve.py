@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref sampling.py --model_num)")
     p.add_argument("--vocab", required=True, help="BERT wordpiece vocab.txt")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8-quantize the encoder projections (MXU int8 "
+                        "path; ~1.2x serving throughput at bert-large)")
     p.add_argument("--input", default=None,
                    help="JSONL file (default: stdin)")
     p.add_argument("--output", default=None,
@@ -69,7 +72,8 @@ def main(argv=None):
 
     predictor = Predictor.from_checkpoint(args.checkpoint,
                                           batch_size=args.batch_size,
-                                          model_num=args.model_num)
+                                          model_num=args.model_num,
+                                          quantize=args.quantize)
     cfg = predictor.config
     L = cfg.data.max_seq_length
     Lp = cfg.data.pair_seq_length

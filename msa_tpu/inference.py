@@ -27,12 +27,22 @@ class Predictor:
     """Sentiment predictions from aligned tri-modal inputs."""
 
     def __init__(self, config: ExperimentConfig, params,
-                 batch_size: int = 8, mesh=None):
+                 batch_size: int = 8, mesh=None, quantize: str | None = None):
+        """``quantize='int8'`` runs the encoder's six big projections on the
+        int8 MXU path (ops/quant.py): per-channel int8 weights quantized
+        here once, dynamic per-token activation quant in the jit.  Serving
+        only; measured ~1.2x serving throughput at bert-large on v5e with
+        prediction agreement within the tanh head's noise (tests)."""
         self.config = config
         self.batch_size = batch_size
         tc = config.train
         self.mesh = mesh if mesh is not None else make_mesh(
             tc.data_parallel, tc.model_parallel)
+        if quantize == "int8":
+            from .ops.quant import quantize_bert_params
+            params = quantize_bert_params(params)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
         cfg = config.model
         dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
@@ -56,7 +66,8 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, directory: str, batch_size: int = 8,
-                        mesh=None, model_num: int | None = None) -> "Predictor":
+                        mesh=None, model_num: int | None = None,
+                        quantize: str | None = None) -> "Predictor":
         from .training.checkpoint import resolve_checkpoint
         directory = resolve_checkpoint(directory, model_num)
         config = load_config(directory)
@@ -69,14 +80,20 @@ class Predictor:
         template = TrainState(params=params, opt_state=tx.init(params),
                               step=jnp.zeros((), jnp.int32))
         state, _ = load_checkpoint(directory, template)
-        return cls(config, state.params, batch_size, mesh)
+        return cls(config, state.params, batch_size, mesh, quantize=quantize)
 
     def predict_arrays(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                        visual: np.ndarray, speech: np.ndarray) -> np.ndarray:
-        """[N, L] ids/mask + [N, L, D*] features -> [N] predictions."""
+        """[N, L] ids/mask + [N, L, D*] features -> [N] predictions.
+
+        All batches are dispatched before the single device fetch at the
+        end: on a remote/tunneled device a per-batch sync would pay the
+        round-trip latency N/bs times (measured 2x total throughput on the
+        axon v5e).
+        """
         n = input_ids.shape[0]
         bs = self.batch_size
-        out = []
+        pending = []  # (device preds, real length)
         for start in range(0, n, bs):
             end = min(start + bs, n)
             pad = bs - (end - start)
@@ -91,8 +108,11 @@ class Predictor:
             preds = self._forward(self.params, prep(input_ids),
                                   prep(attention_mask), prep(visual),
                                   prep(speech))
-            out.append(np.asarray(preds)[: end - start])
-        return np.concatenate(out) if out else np.zeros((0,))
+            pending.append((preds, end - start))
+        host = jax.device_get([p for p, _ in pending])
+        return (np.concatenate([np.asarray(p)[:k] for p, (_, k) in
+                                zip(host, pending)])
+                if pending else np.zeros((0,)))
 
     def predict_split(self, split: FeaturizedSplit) -> np.ndarray:
         return self.predict_arrays(split.input_ids, split.attention_mask,

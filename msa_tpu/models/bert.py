@@ -106,6 +106,9 @@ def matmul_precision(dtype) -> jax.lax.Precision:
 
 
 def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "qkernel" in p:  # int8 serving path (ops/quant.py)
+        from ..ops.quant import int8_dense
+        return int8_dense(x, p["qkernel"], p["qscale"], p["bias"])
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype,
                 precision=matmul_precision(x.dtype))
     return y + p["bias"].astype(x.dtype)

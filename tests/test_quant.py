@@ -1,0 +1,91 @@
+"""int8 serving quantization: op accuracy + Predictor agreement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msa_tpu.configs import (
+    DataConfig, ExperimentConfig, MMBertConfig, TrainConfig, tiny_bert_config,
+)
+from msa_tpu.data.featurize import synthetic_split
+from msa_tpu.inference import Predictor
+from msa_tpu.models.mmbert import init_mmbert_params
+from msa_tpu.ops.quant import int8_dense, quantize_bert_params, quantize_weight
+
+
+def test_quantized_dense_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96,)), jnp.float32)
+    qk, qs = quantize_weight(w)
+    assert qk.dtype == jnp.int8 and qs.shape == (96,)
+    out = int8_dense(x, qk, qs, b)
+    ref = x @ w + b
+    # symmetric 8-bit weight+activation: ~1% of the output scale
+    scale = float(jnp.std(ref))
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 0.05 * scale * np.sqrt(128 / 64)  # loose analytic bound
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02
+
+
+def test_quantize_weight_stacked_per_layer_channel():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 16, 8)), jnp.float32)
+    w = w.at[1].multiply(100.0)  # one layer much larger: scales must differ
+    qk, qs = quantize_weight(w)
+    assert qk.shape == (3, 16, 8) and qs.shape == (3, 8)
+    deq = qk.astype(jnp.float32) * qs[:, None, :]
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w),
+                               atol=float(jnp.max(qs)), rtol=0.02)
+
+
+@pytest.fixture(scope="module")
+def exp():
+    bert = tiny_bert_config(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=120)
+    return ExperimentConfig(
+        model_name="tiny",
+        model=MMBertConfig(bert=bert, visual_dim=5, speech_dim=7, num_labels=1),
+        data=DataConfig(dataset="mosi", max_seq_length=12),
+        train=TrainConfig(compute_dtype="float32", data_parallel=1,
+                          use_flash_attention="never"),
+    )
+
+
+def test_predictor_int8_agrees(exp):
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(12, 12, 5, 7, vocab_size=120, seed=0)
+    full = Predictor(exp, params, batch_size=4).predict_split(split)
+    q = Predictor(exp, params, batch_size=4,
+                  quantize="int8").predict_split(split)
+    assert q.shape == full.shape
+    # tanh-range sentiment: quantization noise stays small and ranking-safe
+    np.testing.assert_allclose(q, full, atol=0.08)
+    assert np.corrcoef(q, full)[0, 1] > 0.99
+
+
+def test_quantize_rejects_unknown_mode(exp):
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    with pytest.raises(ValueError):
+        Predictor(exp, params, quantize="fp4")
+
+
+def test_quantized_params_shardable(exp):
+    """param_shardings must produce consistent specs for int8 leaves."""
+    from msa_tpu.parallel.mesh import make_mesh
+    from msa_tpu.parallel.sharding import param_specs
+
+    params = quantize_bert_params(init_mmbert_params(jax.random.key(0),
+                                                     exp.model))
+    specs = param_specs(params)
+    layers = specs["bert"]["layers"]
+    from jax.sharding import PartitionSpec as P
+    assert layers["q"]["qkernel"] == P(None, None, "model")
+    assert layers["q"]["qscale"] == P(None, "model")
+    assert layers["o"]["qkernel"] == P(None, "model", None)
+    assert layers["o"]["qscale"] == P()

@@ -44,6 +44,14 @@ class Predictor:
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .parallel.mesh import DATA_AXIS
+        self._batch_sharding = NamedSharding(self.mesh,
+                                             PartitionSpec(DATA_AXIS))
+        if self.batch_size % self.mesh.shape[DATA_AXIS]:
+            raise ValueError(
+                f"batch_size {self.batch_size} must be a multiple of the "
+                f"data-axis size {self.mesh.shape[DATA_AXIS]}")
         cfg = config.model
         dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
         from .ops.attention import default_on_tpu
@@ -103,7 +111,8 @@ class Predictor:
                 x = np.asarray(x[sl])
                 if pad:
                     x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                return jnp.asarray(x)
+                # batch rows sharded over the data axis -> multi-chip serving
+                return jax.device_put(x, self._batch_sharding)
 
             preds = self._forward(self.params, prep(input_ids),
                                   prep(attention_mask), prep(visual),

@@ -457,6 +457,15 @@ class Trainer:
 
             vm, vpreds, vlabels = self.eval_epoch(state, val_ds, epoch, rng,
                                                   tc.val_batch_size)
+            if len(vpreds) > 1 and float(np.std(np.asarray(
+                    vpreds, np.float64))) < 1e-6:
+                # Typically the tanh sentiment head saturating because the
+                # -beta*nce term dominates (sweep alpha/beta, as the
+                # reference's run_main.sh does) -- surfaced so a degenerate
+                # fit is never silent.
+                log("WARNING: validation predictions are constant (%.4f) -- "
+                    "saturated head? try lower --beta / --learning_rate",
+                    float(np.asarray(vpreds).reshape(-1)[0]))
             val_acc, val_mae, val_f1 = scorer(vpreds, vlabels)
             v = vm.averaged()
             log("[Val Epoch %d] Loss %.4f ACC %.4f MAE %.4f F1 %.4f",

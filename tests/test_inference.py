@@ -45,6 +45,23 @@ def test_predict_ragged_batch(exp):
     np.testing.assert_allclose(out, out2, atol=1e-5)
 
 
+def test_predict_on_data_parallel_mesh(exp):
+    """Serving over a dp mesh: batch rows sharded on the data axis, same
+    predictions as single-device."""
+    from msa_tpu.parallel.mesh import make_mesh
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(16, 12, 5, 7, vocab_size=120, seed=2)
+    single = Predictor(exp, params, batch_size=8,
+                       mesh=make_mesh(1, 1)).predict_split(split)
+    sharded = Predictor(exp, params, batch_size=8,
+                        mesh=make_mesh(8, 1)).predict_split(split)
+    np.testing.assert_allclose(single, sharded, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        Predictor(exp, params, batch_size=6, mesh=make_mesh(8, 1))
+
+
 def test_from_checkpoint_roundtrip(exp, tmp_path):
     params = init_mmbert_params(jax.random.key(1), exp.model)
     tx = make_optimizer(exp.train, 10)

@@ -120,6 +120,30 @@ def test_fit_loop_and_early_artifacts(tmp_path):
     assert result.best_preds.shape[0] == 12  # padding rows excluded
 
 
+def test_fit_warns_on_constant_predictions(tmp_path):
+    """A saturated tanh head (all predictions identical) must be surfaced,
+    never silent (the -beta*nce term can drive this; BENCH.md)."""
+    exp = tiny_experiment(n_epochs=1)
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    train_ds, val_ds, test_ds = make_datasets()
+    state = trainer.init_state(jax.random.key(0), 10)
+    # saturate: huge classifier2 bias -> tanh(logit) == 1 everywhere
+    params = jax.device_get(state.params)
+    params["fusion"]["classifier2"]["bias"] = (
+        params["fusion"]["classifier2"]["bias"] + 1e4)
+    state = TrainState(params=jax.device_put(params), opt_state=state.opt_state,
+                       step=state.step)
+
+    msgs = []
+
+    class FakeLogger:
+        def info(self, fmt, *a):
+            msgs.append(fmt % a if a else fmt)
+
+    trainer.fit(state, train_ds, val_ds, test_ds, logger=FakeLogger())
+    assert any("constant" in m for m in msgs)
+
+
 def test_indivisible_eval_batch_on_8way_mesh():
     """val_batch_size=4 on an 8-way data mesh: _shard_batch zero-pads."""
     exp = tiny_experiment(data_parallel=8, val_batch_size=4)

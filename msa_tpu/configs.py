@@ -195,6 +195,12 @@ class TrainConfig:
     fuse_text_pass: bool = False
     # lax.scan unroll factor over encoder layers (compile time vs schedule).
     scan_unroll: int = 1
+    # Megatron-style sequence parallelism (requires model_parallel > 1):
+    # the residual stream is constrained to a sequence-sharded layout at
+    # LayerNorm boundaries, so GSPMD turns the TP all-reduces into
+    # reduce-scatter + all-gather and LN/dropout/residual math runs on
+    # S/mp tokens per chip.  Identity on numerics (tests/test_seq_parallel.py).
+    sequence_parallel: bool = False
     # remat policy: 'auto' picks by step size, 'full' (recompute all),
     # 'dots' (save all matmul outputs), 'save_small' (save only [*, H]-wide
     # outputs; recompute FFN + softmax), 'save_wide' (save FFN tensors too).

@@ -57,13 +57,16 @@ class Predictor:
         from .ops.attention import default_on_tpu
         on_tpu = default_on_tpu()  # host-side resolution, threaded into jit
 
+        mesh = self.mesh
+
         def forward(params, ids, mask, visual, speech):
             out = mmbert_forward(
                 params, ids, mask, ids, ids, visual, speech, cfg,
                 deterministic=True, compute_dtype=dtype,
                 use_flash=tc.use_flash_attention, on_tpu=on_tpu,
                 mlm_scores=False,
-                fuse_text_pass=tc.fuse_text_pass)
+                fuse_text_pass=tc.fuse_text_pass,
+                mesh=mesh, sequence_parallel=tc.sequence_parallel)
             logits = out["logits"]
             if cfg.regression:
                 preds = jnp.tanh(logits) if cfg.num_labels == 1 else logits

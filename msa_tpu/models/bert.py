@@ -179,6 +179,8 @@ def bert_encoder(
     remat: bool = False,
     unroll: int = 1,
     remat_policy: str = "full",
+    mesh=None,
+    sequence_parallel: bool = False,
 ) -> jnp.ndarray:
     """Run all transformer layers via one lax.scan.
 
@@ -189,10 +191,31 @@ def bert_encoder(
     ``remat=True`` wraps each layer in jax.checkpoint: backward recomputes
     layer activations instead of storing them -- the standard HBM/FLOPs
     trade on TPU (keeps big-batch bert-large training inside 16G HBM).
+
+    ``mesh`` + ``sequence_parallel``: under tensor parallelism, pass the
+    (data, model) mesh so the Pallas attention runs head-parallel via
+    shard_map; ``sequence_parallel=True`` additionally constrains the
+    residual stream to a sequence-sharded layout at the LayerNorm
+    boundaries (Megatron-SP): GSPMD then turns the TP all-reduces at the
+    o/wo projections into reduce-scatter + all-gather pairs, and LN /
+    dropout / residual math runs on S/mp tokens per chip.  Numerics are
+    identical (constraints are identity); pinned in tests/test_seq_parallel.py.
     """
     layers = params["layers"]
     num_layers = cfg.num_hidden_layers
     dtype = hidden.dtype
+
+    sp_sharding = None
+    if sequence_parallel and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            sp_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+    def sp(h):
+        return (jax.lax.with_sharding_constraint(h, sp_sharding)
+                if sp_sharding is not None else h)
 
     if rng is None:
         layer_keys = jnp.zeros((num_layers, 2), dtype=jnp.uint32)
@@ -227,11 +250,12 @@ def bert_encoder(
             deterministic=deterministic,
             use_flash=use_flash,
             on_tpu=on_tpu,
+            mesh=mesh,
         ), "attn_io")
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
         h = checkpoint_name(
-            layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps),
+            sp(layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps)),
             "narrow")
         # --- mlp ---
         # 'ffn_wide' marks the [*, 4H] tensors: the recompute_ffn policy
@@ -243,7 +267,7 @@ def bert_encoder(
         up = checkpoint_name(gelu(up), "ffn_wide")
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
-        h = layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps)
+        h = sp(layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps))
         return h, None
 
     if remat:
@@ -310,6 +334,8 @@ def bert_model(
     compute_dtype: jnp.dtype = jnp.float32,
     use_flash: str = "auto",
     on_tpu: bool = False,
+    mesh=None,
+    sequence_parallel: bool = False,
 ):
     """Full text-only BERT: returns (sequence_output [B,S,H], pooled [B,H])."""
     if rng is not None:
@@ -321,6 +347,7 @@ def bert_model(
                         compute_dtype=compute_dtype)
     bias = extended_attention_mask(attention_mask, jnp.float32)
     seq = bert_encoder(params, x, bias, cfg, deterministic=deterministic,
-                       rng=k_enc, use_flash=use_flash, on_tpu=on_tpu)
+                       rng=k_enc, use_flash=use_flash, on_tpu=on_tpu,
+                       mesh=mesh, sequence_parallel=sequence_parallel)
     pooled = bert_pooler(params, seq)
     return seq, pooled

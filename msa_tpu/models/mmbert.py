@@ -230,6 +230,8 @@ def mmbert_forward(
     fuse_text_pass: bool = False,
     unroll: int = 1,
     remat_policy: str = "full",
+    mesh=None,
+    sequence_parallel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Three-view forward.  Returns every head output needed by the loss.
 
@@ -287,7 +289,8 @@ def mmbert_forward(
                                deterministic=deterministic, rng=keys[6],
                                use_flash=use_flash, on_tpu=on_tpu,
                                remat=remat, unroll=unroll,
-                               remat_policy=remat_policy)
+                               remat_policy=remat_policy, mesh=mesh,
+                               sequence_parallel=sequence_parallel)
         pooled_all = bert_pooler(bert, seq_all)
         seq_t = seq_all[:b, :l]
         seq_j = seq_all[b:]
@@ -300,7 +303,8 @@ def mmbert_forward(
                              deterministic=deterministic, rng=keys[1],
                              use_flash=use_flash, on_tpu=on_tpu,
                              remat=remat, unroll=unroll,
-                             remat_policy=remat_policy)
+                             remat_policy=remat_policy, mesh=mesh,
+                             sequence_parallel=sequence_parallel)
         pooled_t = bert_pooler(bert, seq_t)
         joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
         bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
@@ -308,7 +312,8 @@ def mmbert_forward(
                              deterministic=deterministic, rng=keys[6],
                              use_flash=use_flash, on_tpu=on_tpu,
                              remat=remat, unroll=unroll,
-                             remat_policy=remat_policy)
+                             remat_policy=remat_policy, mesh=mesh,
+                             sequence_parallel=sequence_parallel)
         pooled_j = bert_pooler(bert, seq_j)
         pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
 

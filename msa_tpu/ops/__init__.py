@@ -1,2 +1,2 @@
-from . import attention, losses, masking  # noqa: F401
+from . import attention, losses, masking, quant  # noqa: F401
 from .fused_joint_embed import fused_joint_embed  # noqa: F401

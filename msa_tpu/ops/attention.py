@@ -403,6 +403,44 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # Public entry
 # ---------------------------------------------------------------------------
 
+def _sharded_short_attention(q, k, v, key_bias, seed, num_heads, rate,
+                             interpret, mesh):
+    """Run the short kernel under tensor parallelism via shard_map.
+
+    Attention is embarrassingly parallel over heads: with q/k/v column-
+    sharded on the ``model`` axis (the Megatron TP layout), every shard
+    attends its own ``num_heads / mp`` heads locally -- no collective at
+    all.  Without this wrapper the Pallas custom-call would force GSPMD to
+    all-gather the head-sharded activations around it.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mp = mesh.shape[MODEL_AXIS]
+    heads_spec = P(DATA_AXIS, None, MODEL_AXIS)
+    bias_spec = P(DATA_AXIS, None)
+
+    def local(qs, ks, vs, bs, *seed_s):
+        from .short_attention import short_attention_v2
+        if seed_s:
+            # decorrelate the in-kernel dropout masks across head shards
+            s_ = seed_s[0] + jax.lax.axis_index(MODEL_AXIS) * 1000003
+        else:
+            s_ = None
+        return short_attention_v2(qs, ks, vs, bs, s_,
+                                  num_heads // mp, rate, interpret)
+
+    args = (q, k, v, key_bias) + (() if seed is None else (seed,))
+    specs = (heads_spec, heads_spec, heads_spec, bias_spec) + \
+        (() if seed is None else (P(),))
+    return shard_map(
+        local, mesh=mesh, in_specs=specs, out_specs=heads_spec,
+        check_vma=False,
+    )(*args)
+
+
 def multi_head_attention(
     q: jnp.ndarray,  # [B, S, H]
     k: jnp.ndarray,
@@ -415,12 +453,19 @@ def multi_head_attention(
     deterministic: bool = True,
     use_flash: str = "auto",
     on_tpu: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Split heads, attend, merge heads.  Returns [B, S, H].
 
     ``on_tpu`` selects the compiled Pallas kernel (True) vs interpret mode /
     XLA fallback (False).  Resolve it on the host (``default_on_tpu()``) and
     thread it in -- it is deliberately NOT sniffed at trace time.
+
+    ``mesh``: pass the (data, model) mesh when running under tensor
+    parallelism so the short kernel runs head-parallel via shard_map
+    (each shard attends its local heads; no collectives).  With mesh=None
+    and model sharding active, the Pallas custom-call would otherwise make
+    GSPMD gather the full hidden dim around it.
     """
     b, s, h = q.shape
     d = h // num_heads
@@ -456,6 +501,11 @@ def multi_head_attention(
             rate = float(dropout_rate)
         else:
             seed, rate = None, 0.0
+        from ..parallel.mesh import MODEL_AXIS
+        mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+        if mp > 1 and num_heads % mp == 0:
+            return _sharded_short_attention(q, k, v, key_bias, seed,
+                                            num_heads, rate, not on_tpu, mesh)
         return short_attention_v2(q, k, v, key_bias, seed, num_heads, rate,
                                   not on_tpu)
 

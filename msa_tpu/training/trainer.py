@@ -229,6 +229,8 @@ class Trainer:
         use_flash = tc.use_flash_attention
         on_tpu = self.on_tpu
         remat_policy = self._resolve_remat_policy()
+        mesh = self.mesh
+        seq_par = tc.sequence_parallel
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                        base_rng: jax.Array):
@@ -255,6 +257,7 @@ class Trainer:
                     fuse_text_pass=tc.fuse_text_pass,
                     unroll=tc.scan_unroll,
                     remat_policy=remat_policy,
+                    mesh=mesh, sequence_parallel=seq_par,
                 )
                 losses = mmbert_loss(
                     params, out, t_lab, tv_lab, ts_lab,
@@ -314,6 +317,7 @@ class Trainer:
                 use_flash=use_flash, on_tpu=on_tpu, mlm_scores=False,
                 fuse_text_pass=tc.fuse_text_pass,
                 unroll=tc.scan_unroll,
+                mesh=self.mesh, sequence_parallel=tc.sequence_parallel,
             )
             losses = mmbert_loss(
                 params, out, t_lab, tv_lab, ts_lab,

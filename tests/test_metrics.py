@@ -53,6 +53,21 @@ def test_pearson_matches_numpy(data):
         np.corrcoef(preds, truth)[0][1])
 
 
+def test_mcnemar_closed_form():
+    """Pin mcnemar(exact=False) to its closed form -- statistic
+    (|b-c|-1)^2/(b+c) with continuity correction, pvalue chi2.sf(stat, 1)
+    = erfc(sqrt(stat/2)) -- so the check runs even on hosts without
+    statsmodels (where the parity test below skips)."""
+    import math
+
+    for tf, ft in [(40, 25), (10, 10), (0, 7)]:
+        ours = mcnemar_test(50, tf, ft, 60)
+        stat = (abs(tf - ft) - 1) ** 2 / (tf + ft)
+        assert ours["statistic"] == pytest.approx(stat, rel=1e-12)
+        assert ours["pvalue"] == pytest.approx(
+            math.erfc(math.sqrt(stat / 2.0)), rel=1e-9)
+
+
 def test_mcnemar_matches_statsmodels(data):
     statsmodels = pytest.importorskip("statsmodels.stats.contingency_tables")
     truth, preds = data

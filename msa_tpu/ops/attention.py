@@ -403,34 +403,33 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # Public entry
 # ---------------------------------------------------------------------------
 
-def _sharded_short_attention(q, k, v, key_bias, seed, num_heads, rate,
-                             interpret, mesh):
-    """Run the short kernel under tensor parallelism via shard_map.
+def _head_parallel(kernel_local, q, k, v, key_bias, seed, mesh):
+    """Run an attention kernel under tensor parallelism via shard_map.
 
     Attention is embarrassingly parallel over heads: with q/k/v column-
     sharded on the ``model`` axis (the Megatron TP layout), every shard
     attends its own ``num_heads / mp`` heads locally -- no collective at
-    all.  Without this wrapper the Pallas custom-call would force GSPMD to
+    all.  Without this wrapper a Pallas custom-call would force GSPMD to
     all-gather the head-sharded activations around it.
+
+    ``kernel_local(qs, ks, vs, bias_s, seed_s_or_None)`` sees per-shard
+    [B/dp, S, H/mp] arrays; the dropout seed is decorrelated across head
+    shards before the call.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    mp = mesh.shape[MODEL_AXIS]
     heads_spec = P(DATA_AXIS, None, MODEL_AXIS)
     bias_spec = P(DATA_AXIS, None)
 
     def local(qs, ks, vs, bs, *seed_s):
-        from .short_attention import short_attention_v2
         if seed_s:
-            # decorrelate the in-kernel dropout masks across head shards
             s_ = seed_s[0] + jax.lax.axis_index(MODEL_AXIS) * 1000003
         else:
             s_ = None
-        return short_attention_v2(qs, ks, vs, bs, s_,
-                                  num_heads // mp, rate, interpret)
+        return kernel_local(qs, ks, vs, bs, s_)
 
     args = (q, k, v, key_bias) + (() if seed is None else (seed,))
     specs = (heads_spec, heads_spec, heads_spec, bias_spec) + \
@@ -504,8 +503,10 @@ def multi_head_attention(
         from ..parallel.mesh import MODEL_AXIS
         mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
         if mp > 1 and num_heads % mp == 0:
-            return _sharded_short_attention(q, k, v, key_bias, seed,
-                                            num_heads, rate, not on_tpu, mesh)
+            def local_short(qs, ks, vs, bs, s_):
+                return short_attention_v2(qs, ks, vs, bs, s_,
+                                          num_heads // mp, rate, not on_tpu)
+            return _head_parallel(local_short, q, k, v, key_bias, seed, mesh)
         return short_attention_v2(q, k, v, key_bias, seed, num_heads, rate,
                                   not on_tpu)
 
@@ -520,12 +521,20 @@ def multi_head_attention(
         # 512-blocks won the v5e sweep at every S>=1024 (BENCH.md round 2);
         # shorter sequences use one whole-sequence block.
         blk = min(512, _round_up(s, 128))
-        ctx = _flash_attention(
-            qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
-            vh.transpose(0, 2, 1, 3), key_bias, seed, blk, blk, rate,
-            not on_tpu,
-        )
-        ctx = ctx.transpose(0, 2, 1, 3)
+
+        def flash_bsh(qx, kx, vx, bias_x, seed_x):
+            nh = qx.shape[-1] // d
+            t = lambda x: x.reshape(x.shape[0], s, nh, d).transpose(0, 2, 1, 3)
+            out = _flash_attention(t(qx), t(kx), t(vx), bias_x, seed_x,
+                                   blk, blk, rate, not on_tpu)
+            return out.transpose(0, 2, 1, 3).reshape(qx.shape)
+
+        from ..parallel.mesh import MODEL_AXIS
+        mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+        if mp > 1 and num_heads % mp == 0:
+            # head-parallel under TP, same as the short kernel
+            return _head_parallel(flash_bsh, q, k, v, key_bias, seed, mesh)
+        return flash_bsh(q, k, v, key_bias, seed)
     else:
         ctx = _xla_attention(qh, kh, vh, bias, dropout_rate, dropout_rng,
                              deterministic)

@@ -76,6 +76,30 @@ def test_sequence_parallel_eval_matches():
     np.testing.assert_allclose(p, p2, atol=1e-5)
 
 
+def test_sharded_flash_attention_matches_unsharded():
+    """Head-parallel flash kernel under TP == single call (interpret, no
+    dropout) at a flash-dispatched length."""
+    rng = np.random.default_rng(1)
+    b, s, h, n = 2, 1024, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    mask = np.ones((b, s), np.float32)
+    mask[0, 900:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :])
+
+    plain = multi_head_attention(q, k, v, bias, num_heads=n,
+                                 use_flash="always")
+    mesh = make_mesh(2, 4)
+    sharded = jax.jit(
+        lambda q, k, v, bias: multi_head_attention(
+            q, k, v, bias, num_heads=n, use_flash="always", mesh=mesh)
+    )(q, k, v, bias)
+    m = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(plain)[m], np.asarray(sharded)[m],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_sharded_short_attention_matches_unsharded():
     """shard_map head-parallel short kernel == single call (interpret, no
     dropout) on a dp x mp mesh."""

@@ -136,6 +136,9 @@ def main():
     if "attn16u4" in variants:
         time_train_variant("save_attn+mu16+unroll4", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16", scan_unroll=4)
+    if "attn16u2" in variants:
+        time_train_variant("save_attn+mu16+unroll2", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16", scan_unroll=2)
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

@@ -100,6 +100,34 @@ def test_sharded_flash_attention_matches_unsharded():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_sharded_short_attention_gradients_match():
+    """Backward through the shard_map head-parallel short kernel == the
+    unsharded kernel's gradients."""
+    rng = np.random.default_rng(2)
+    b, s, h, n = 8, 24, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    mask = np.ones((b, s), np.float32)
+    mask[1, 12:] = 0
+    bias = jnp.asarray(((1.0 - mask) * -10000.0)[:, None, None, :])
+    w = jnp.asarray(mask)[:, :, None]
+    mesh = make_mesh(2, 4)
+
+    def loss(mesh_arg):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, bias, num_heads=n,
+                                       use_flash="always", mesh=mesh_arg)
+            return jnp.sum(out ** 2 * w)
+        return f
+
+    g_plain = jax.grad(loss(None), argnums=(0, 1, 2))(q, k, v)
+    g_shard = jax.jit(jax.grad(loss(mesh), argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g_plain, g_shard):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_sharded_short_attention_matches_unsharded():
     """shard_map head-parallel short kernel == single call (interpret, no
     dropout) on a dp x mp mesh."""

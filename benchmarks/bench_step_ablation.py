@@ -136,6 +136,9 @@ def main():
     if "attn16u4" in variants:
         time_train_variant("save_attn+mu16+unroll4", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16", scan_unroll=4)
+    if "ctx16" in variants:
+        time_train_variant("save_ctx+mu16", remat_policy="save_ctx",
+                           adam_mu_dtype="bfloat16")
     if "attn16u2" in variants:
         time_train_variant("save_attn+mu16+unroll2", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16", scan_unroll=2)

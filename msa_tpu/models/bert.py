@@ -251,7 +251,7 @@ def bert_encoder(
             use_flash=use_flash,
             on_tpu=on_tpu,
             mesh=mesh,
-        ), "attn_io")
+        ), "attn_ctx")
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
         h = checkpoint_name(
@@ -284,12 +284,20 @@ def bert_encoder(
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "narrow")
+                "attn_io", "attn_ctx", "narrow")
         elif remat_policy == "save_attn":
             # Save only q/k/v/ctx: backward skips the attention kernel's
             # forward recompute and the QKV projections (~2/3 of
             # save_small's stash bytes), recomputes o-proj/LN/FFN.
-            policy = jax.checkpoint_policies.save_only_these_names("attn_io")
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_io", "attn_ctx")
+        elif remat_policy == "save_ctx":
+            # Save ONLY the attention output: the QKV projections are
+            # recomputed (3 matmuls/layer) and feed the attention kernel's
+            # custom-vjp backward directly, but the kernel's own forward is
+            # never re-run.  1/4 of save_attn's stash -- the memory point
+            # that fits B=128.
+            policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
         elif remat_policy == "save_wide":
             # Save the narrow set AND the [*, 4H] FFN tensors; backward
             # recomputes only elementwise leftovers (LN stats, dropout
@@ -297,7 +305,7 @@ def bert_encoder(
             # here -- excluding gelu's input/output just makes jax save
             # gelu's equally-wide INTERNAL intermediates instead (verified).
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "narrow", "ffn_wide")
+                "attn_io", "attn_ctx", "narrow", "ffn_wide")
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)

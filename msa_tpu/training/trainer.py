@@ -192,7 +192,8 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _resolve_remat_policy(self) -> str:
-        """'auto' -> 'save_attn' when its stash fits HBM, else 'full'.
+        """'auto' -> save_attn when its stash fits HBM, else save_ctx, else
+        full.
 
         save_attn (save q/k/v/ctx; skip the attention kernel's and the QKV
         projections' backward recompute) measured fastest everywhere it
@@ -213,9 +214,14 @@ class Trainer:
         lp = self.config.data.pair_seq_length or l
         tokens = b * l + 2 * b * (l + lp)
         bert = self.config.model.bert
-        stash = 5 * tokens * bert.hidden_size * 2 * bert.num_hidden_layers
-        stash /= max(self.mesh.devices.size, 1)
-        return "save_attn" if stash < 6e9 else "full"
+        # bytes per saved [*, H] tensor across all layers, sharded over mesh
+        unit = tokens * bert.hidden_size * 2 * bert.num_hidden_layers
+        unit /= max(self.mesh.devices.size, 1)
+        if 5 * unit < 6e9:   # q/k/v/ctx + scan-carried layer input
+            return "save_attn"
+        if 2 * unit < 6e9:   # ctx + layer input; B=128: 236 vs full's
+            return "save_ctx"  # 214 samples/s (BENCH.md round 2)
+        return "full"
 
     def _build_train_step(self):
         cfg = self.config.model

@@ -1,0 +1,43 @@
+"""The 'auto' remat ladder resolves to the measured-best policy per size."""
+
+import dataclasses
+
+from msa_tpu.configs import build_experiment
+from msa_tpu.parallel.mesh import make_mesh
+from msa_tpu.training.trainer import Trainer
+
+
+def _trainer(batch, seq=40, pair=None, model="bert-large-uncased", dp=1):
+    exp = build_experiment(dataset="mosi", model_name=model, num_labels=1,
+                           train_batch_size=batch)
+    exp = dataclasses.replace(
+        exp, data=dataclasses.replace(exp.data, max_seq_length=seq,
+                                      pair_seq_length=pair))
+    return Trainer(exp, mesh=make_mesh(dp, 1))
+
+
+def test_auto_ladder_word_aligned():
+    # measured on 16 GB v5e (BENCH.md round 2)
+    assert _trainer(32)._resolve_remat_policy() == "save_attn"
+    assert _trainer(96)._resolve_remat_policy() == "save_attn"
+    assert _trainer(120)._resolve_remat_policy() == "save_attn"
+    assert _trainer(128)._resolve_remat_policy() == "save_ctx"
+    assert _trainer(160)._resolve_remat_policy() == "save_ctx"
+    # absurdly large: only full recompute fits
+    assert _trainer(4096)._resolve_remat_policy() == "full"
+
+
+def test_auto_ladder_scales_with_mesh():
+    # sharded over 8 devices the same global batch stashes 1/8 per chip
+    assert _trainer(128, dp=8)._resolve_remat_policy() == "save_attn"
+
+
+def test_auto_ladder_frame_level():
+    t = _trainer(16, seq=40, pair=984)
+    assert t._resolve_remat_policy() in ("save_ctx", "full")
+    # explicit override always wins
+    t2 = _trainer(16, seq=40, pair=984)
+    t2.config = dataclasses.replace(
+        t2.config, train=dataclasses.replace(t2.config.train,
+                                             remat_policy="save_attn"))
+    assert t2._resolve_remat_policy() == "save_attn"

@@ -18,7 +18,8 @@ from msa_tpu.data.featurize import synthetic_split
 from msa_tpu.models.mmbert import init_mmbert_params, mmbert_forward, mmbert_loss
 from msa_tpu.ops import masking
 
-POLICIES = ["full", "dots", "save_small", "save_attn", "save_wide"]
+POLICIES = ["full", "dots", "save_small", "save_attn", "save_ctx",
+            "save_wide"]
 
 
 def _loss_and_grad(remat, policy):

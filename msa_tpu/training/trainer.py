@@ -354,6 +354,23 @@ class Trainer:
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
+    def _annotate_oom(self, err: Exception) -> Exception:
+        """Turn a device OOM into an actionable error (the remat ladder
+        gives the concrete next knob); other runtime errors pass through."""
+        if "RESOURCE_EXHAUSTED" not in str(err):
+            return err
+        policy = self._resolve_remat_policy()
+        ladder = ["save_wide", "save_small", "save_attn", "save_ctx", "full"]
+        later = ladder[ladder.index(policy) + 1:] if policy in ladder else ladder
+        hint = (f"next remat_policy rung: {later[0]}" if later
+                else "already at remat_policy='full'")
+        return RuntimeError(
+            f"device out of memory in the train step "
+            f"(batch={self.config.train.train_batch_size}, "
+            f"remat_policy={policy!r}).  Options: lower --train_batch_size; "
+            f"{hint}; adam_mu_dtype/adam_nu_dtype=bfloat16 shave the "
+            f"optimizer state; data_parallel>1 shards activations.")
+
     def train_epoch(self, state: TrainState, dataset: MultimodalDataset,
                     epoch: int, rng: jax.Array) -> Tuple[TrainState, EpochMetrics]:
         if self._train_step is None:
@@ -372,7 +389,10 @@ class Trainer:
                 jax.profiler.start_trace(tc.profile_dir)
             with jax.profiler.StepTraceAnnotation("train", step_num=i):
                 sb = self._shard_batch(batch)
-                state, metrics = self._train_step(state, sb, rng)
+                try:
+                    state, metrics = self._train_step(state, sb, rng)
+                except jax.errors.JaxRuntimeError as e:
+                    raise self._annotate_oom(e) from e
             # keep metric scalars on device: a per-step device_get would
             # sync the pipeline every step (expensive on remote platforms)
             device_metrics.append(metrics)

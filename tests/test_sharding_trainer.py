@@ -120,6 +120,19 @@ def test_fit_loop_and_early_artifacts(tmp_path):
     assert result.best_preds.shape[0] == 12  # padding rows excluded
 
 
+def test_oom_error_is_actionable():
+    """A RESOURCE_EXHAUSTED from the device step is rethrown with the next
+    remat-ladder rung and batch-size advice; other errors pass through."""
+    exp = tiny_experiment()
+    trainer = Trainer(exp, **TINY_MASK_ARGS)
+    err = trainer._annotate_oom(RuntimeError("RESOURCE_EXHAUSTED: TPU OOM"))
+    msg = str(err)
+    assert "remat_policy" in msg and "train_batch_size" in msg
+    assert "save_ctx" in msg or "full" in msg  # a concrete next rung
+    other = RuntimeError("something else")
+    assert trainer._annotate_oom(other) is other
+
+
 def test_fit_warns_on_constant_predictions(tmp_path):
     """A saturated tanh head (all predictions identical) must be surfaced,
     never silent (the -beta*nce term can drive this; BENCH.md)."""

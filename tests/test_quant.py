@@ -69,6 +69,22 @@ def test_predictor_int8_agrees(exp):
     assert np.corrcoef(q, full)[0, 1] > 0.99
 
 
+def test_predictor_int8_on_meshes(exp):
+    """int8 serving under dp and dp x tp meshes == single-device int8."""
+    from msa_tpu.parallel.mesh import make_mesh
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(8, 12, 5, 7, vocab_size=120, seed=3)
+    single = Predictor(exp, params, batch_size=8, mesh=make_mesh(1, 1),
+                       quantize="int8").predict_split(split)
+    for dp, mp in [(8, 1), (2, 4)]:
+        sharded = Predictor(exp, params, batch_size=8,
+                            mesh=make_mesh(dp, mp),
+                            quantize="int8").predict_split(split)
+        np.testing.assert_allclose(single, sharded, atol=1e-5,
+                                   err_msg=f"dp={dp} mp={mp}")
+
+
 def test_quantize_rejects_unknown_mode(exp):
     params = init_mmbert_params(jax.random.key(0), exp.model)
     with pytest.raises(ValueError):

@@ -81,3 +81,14 @@ def test_serve_jsonl_roundtrip(checkpoint_and_vocab, tmp_path):
     for rid in ("a", "b", "c"):
         assert again[rid]["prediction"] == pytest.approx(
             by_id[rid]["prediction"], abs=1e-6)
+
+    # int8 path end-to-end through the CLI: close to the bf16 predictions
+    rc = main(["--checkpoint", ckpt, "--vocab", vocab, "--batch_size", "2",
+               "--quantize", "int8",
+               "--input", str(inp), "--output", str(out) + ".q"])
+    assert rc == 0
+    quant = {l.get("id"): l for l in
+             (json.loads(l) for l in open(str(out) + ".q"))}
+    for rid in ("a", "b", "c"):
+        assert quant[rid]["prediction"] == pytest.approx(
+            by_id[rid]["prediction"], abs=0.08)

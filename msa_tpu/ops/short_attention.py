@@ -46,10 +46,16 @@ def _keep_mask(seed_ref, tile_id, shape, rate: float):
     return bits >= threshold  # P(keep) = 1 - rate
 
 
+# Lanes per head group.  128 = one lane tile (2 heads at d=64); 256 was
+# swept on v5e and loses (the block-diagonal zero blocks stop riding for
+# free once the group spans >1 lane tile) -- see BENCH.md round 2.
+_GROUP_LANES = 128
+
+
 def _heads_per_group(num_heads: int, d: int) -> int:
-    """Heads per lane group: ~128 lanes per slice (d=64 -> pairs), always
-    dividing num_heads so groups tile H exactly."""
-    hpg = min(num_heads, max(1, 128 // d))
+    """Heads per lane group: ~_GROUP_LANES lanes per slice (d=64 -> pairs),
+    always dividing num_heads so groups tile H exactly."""
+    hpg = min(num_heads, max(1, _GROUP_LANES // d))
     while num_heads % hpg:
         hpg -= 1
     return hpg

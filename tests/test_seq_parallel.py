@@ -76,6 +76,36 @@ def test_sequence_parallel_eval_matches():
     np.testing.assert_allclose(p, p2, atol=1e-5)
 
 
+def test_frame_level_with_tp_and_sp():
+    """Feature composition: frame-level pair length x dp x tp x sequence
+    parallelism in one train step, loss equal to the plain configuration."""
+    import dataclasses
+
+    from msa_tpu.data.featurize import synthetic_split as synth
+
+    def build(sp, dp, mp):
+        exp = tiny_experiment(data_parallel=dp, model_parallel=mp,
+                              sequence_parallel=sp)
+        exp = dataclasses.replace(
+            exp, data=dataclasses.replace(exp.data, pair_seq_length=32))
+        return exp
+
+    split = synth(8, 16, 5, 7, vocab_size=120, seed=0, pair_seq_length=32)
+    ds = MultimodalDataset(split, seed=0)
+
+    losses = []
+    for sp, dp, mp in [(False, 1, 1), (True, 2, 4)]:
+        exp = build(sp, dp, mp)
+        tr = Trainer(exp, **MASK_ARGS)
+        state = tr.init_state(jax.random.key(0), 10)
+        batch = tr._shard_batch(next(ds.epoch_batches(0, 8)))
+        step = tr._build_train_step()
+        _, m = step(state, batch, jax.random.key(1))
+        losses.append(float(m["loss"]))
+        assert int(m["mlm_overflow"]) == 0
+    assert losses[1] == pytest.approx(losses[0], rel=1e-5)
+
+
 def test_sharded_flash_attention_matches_unsharded():
     """Head-parallel flash kernel under TP == single call (interpret, no
     dropout) at a flash-dispatched length."""

@@ -396,8 +396,15 @@ def mmbert_loss(
     sentiment: jnp.ndarray,          # [B] float (regression) or int (CE)
     cfg: MMBertConfig,
     weights: Optional[jnp.ndarray] = None,
+    compute_mlm: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """Assemble the joint loss (ref MMBertForPretraining.py:427-443)."""
+    """Assemble the joint loss (ref MMBertForPretraining.py:427-443).
+
+    ``compute_mlm=False`` statically skips the MLM CE matmuls: used by the
+    deterministic eval path, whose labels are all -100 by construction, so
+    the CE is exactly 0 -- computing it would still run 3 gathered
+    [cap, H] @ [H, V] matmuls on dead data.
+    """
     b, l = mlm_labels_text.shape
     # pair half may be longer than the text half (frame-level mode)
     lp = outputs["seq_joint"].shape[1] - l
@@ -407,7 +414,9 @@ def mmbert_loss(
     labels_s = jnp.concatenate([mlm_labels_ts, ignore], axis=1)
 
     mlm_overflow = jnp.zeros((), jnp.int32)
-    if "mlm_text" in outputs:
+    if not compute_mlm:
+        text_mlm = visual_mlm = speech_mlm = jnp.zeros((), jnp.float32)
+    elif "mlm_text" in outputs:
         text_mlm = L.cross_entropy(outputs["mlm_text"], mlm_labels_text, weights)
         visual_mlm = L.cross_entropy(outputs["mlm_joint"][:b], labels_v, weights)
         speech_mlm = L.cross_entropy(outputs["mlm_joint"][b:], labels_s, weights)

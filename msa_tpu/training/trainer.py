@@ -329,6 +329,9 @@ class Trainer:
                 params, out, t_lab, tv_lab, ts_lab,
                 batch["visual_ap"], batch["speech_ap"], batch["target"],
                 cfg, weights=batch["weight"],
+                # deterministic eval labels are all -100: the MLM CE is
+                # exactly 0, so skip its matmuls statically
+                compute_mlm=eval_masking,
             )
             return losses
 

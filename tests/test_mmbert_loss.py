@@ -72,6 +72,26 @@ def test_loss_paths_agree(setup):
     assert int(l_fused["mlm_overflow"]) == 0
 
 
+def test_compute_mlm_false_matches_all_ignore_labels(setup):
+    """compute_mlm=False (the deterministic-eval fast path) equals running
+    the CE on all -100 labels -- both give mlm components exactly 0 and the
+    same joint loss."""
+    params, ids, m_ids, labels, mask, visual, speech = setup
+    ap = jnp.array([1, 0, 1, 1])
+    target = jnp.array([0.5, -0.2, 0.1, 0.9])
+    ignore = jnp.full_like(labels, L.IGNORE_INDEX)
+    out = mmbert_forward(params, ids, mask, ids, ids, visual, speech, CFG,
+                         mlm_scores=False)
+    full = mmbert_loss(params, out, ignore, ignore, ignore, ap, ap, target,
+                       CFG)
+    fast = mmbert_loss(params, out, ignore, ignore, ignore, ap, ap, target,
+                       CFG, compute_mlm=False)
+    assert float(full["mlm_loss"]) == 0.0
+    assert float(fast["mlm_loss"]) == 0.0
+    assert float(fast["loss"]) == pytest.approx(float(full["loss"]), rel=1e-6)
+    assert int(fast["mlm_overflow"]) == 0
+
+
 def test_joint_loss_assembly(setup):
     """joint = alpha*mlm + ap + label - beta*nce (ref line 443)."""
     params, ids, m_ids, labels, mask, visual, speech = setup

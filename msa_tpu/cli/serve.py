@@ -14,10 +14,17 @@ One JSON object per input line:
      "visual": [[...frame...], ...], "speech": [[...frame...], ...]}
 
 ``visual``/``speech`` are optional (zero-filled when absent -- text-only
-sentiment).  Each output line echoes ``id`` and adds ``prediction``.
-Lines are micro-batched up to the Predictor's batch size; an invalid line
-produces an ``{"id": ..., "error": ...}`` line instead of killing the
-service.
+sentiment).  When the checkpoint is word-aligned (``pair_seq_length``
+unset), supplied ``visual``/``speech`` must have exactly ONE row per word
+(the featurizer replicates rows per sub-token by word index); a length
+mismatch yields an error line rather than silently misaligned features.
+Frame-level checkpoints (``pair_seq_length`` set) accept native-rate
+frames.  Each output line echoes ``id`` and adds ``prediction``.
+Lines are micro-batched up to the Predictor's batch size and flushed on a
+full batch, on EOF, or after ``--max_wait`` seconds of idle input (so a
+single request on a held-open pipe still gets its answer); an invalid
+line produces an ``{"id": ..., "error": ...}`` line instead of killing
+the service.
 """
 
 from __future__ import annotations
@@ -41,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="int8-quantize the encoder projections (MXU int8 "
                         "path; ~1.2x serving throughput at bert-large)")
+    p.add_argument("--max_wait", type=float, default=0.2,
+                   help="flush a partial batch after this many seconds of "
+                        "idle input (piped/streaming mode; 0 disables the "
+                        "timer and flushes only on full batch or EOF)")
     p.add_argument("--input", default=None,
                    help="JSONL file (default: stdin)")
     p.add_argument("--output", default=None,
@@ -55,10 +66,62 @@ def featurize_request(req, tokenizer, L, Lp, vdim, sdim):
         if req.get("visual") else np.zeros((len(words), vdim), np.float32)
     speech = np.asarray(req.get("speech", []), np.float32).reshape(-1, sdim) \
         if req.get("speech") else np.zeros((len(words), sdim), np.float32)
+    if Lp is None:
+        # Word-aligned checkpoint: the featurizer indexes features by WORD
+        # (one row per word, replicated per sub-token).  Extra rows would
+        # silently misalign (fewer already raise), so validate here.
+        for name, arr in (("visual", visual), ("speech", speech)):
+            if len(arr) != len(words):
+                raise ValueError(
+                    f"word-aligned model: {name} must have one row per word "
+                    f"(got {len(arr)} rows for {len(words)} words); resample "
+                    f"frames to word level or serve a frame-level "
+                    f"(pair_seq_length) checkpoint")
     from ..data.featurize import featurize
     sample = ((words, visual, speech), [np.array([0.0])], req.get("id"))
     return featurize([sample], tokenizer, L, vdim, sdim, "mosi", "sentiment",
                      1, pair_seq_length=Lp)
+
+
+def _iter_lines(fin, max_wait):
+    """Yield decoded lines from ``fin``; yield ``None`` after ``max_wait``
+    seconds with no input (the caller's cue to flush a partial batch).
+
+    Timed mode reads the raw fd via select+os.read so a complete line is
+    never stranded inside Python's buffered reader while select blocks on
+    the fd.  Seekable files (and max_wait=0) use plain iteration: they are
+    always ready, so the timer is meaningless there.
+    """
+    timed = max_wait and max_wait > 0
+    if timed:
+        try:
+            timed = not fin.seekable()
+        except Exception:
+            pass
+        try:
+            fd = fin.fileno()
+        except Exception:
+            timed = False
+    if not timed:
+        yield from fin
+        return
+    import os
+    import select
+    buf = b""
+    while True:
+        ready, _, _ = select.select([fd], [], [], max_wait)
+        if not ready:
+            yield None
+            continue
+        chunk = os.read(fd, 1 << 16)
+        if not chunk:
+            if buf:
+                yield buf.decode("utf-8", "replace")
+            return
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            yield line.decode("utf-8", "replace")
 
 
 def main(argv=None):
@@ -98,7 +161,10 @@ def main(argv=None):
         fout.flush()
         pending.clear()
 
-    for line in fin:
+    for line in _iter_lines(fin, args.max_wait):
+        if line is None:  # input idle past --max_wait: answer what we have
+            flush()
+            continue
         line = line.strip()
         if not line:
             continue

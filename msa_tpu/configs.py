@@ -52,6 +52,11 @@ class BertConfig:
     # TPU-specific knobs (no reference equivalent): pad the vocab so the tied
     # MLM decoder matmul tiles cleanly onto the 128x128 MXU.
     vocab_pad_multiple: int = 128
+    # Force the exact-erf gelu even in bf16 compute (SURVEY.md section 7
+    # deviation (m)): by default bf16 uses the tanh approximation, whose
+    # error is below bf16's own rounding but 17x cheaper on the VPU.  Set
+    # True for bit-level HF parity runs.
+    exact_gelu: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -201,14 +206,16 @@ class TrainConfig:
     # reduce-scatter + all-gather and LN/dropout/residual math runs on
     # S/mp tokens per chip.  Identity on numerics (tests/test_seq_parallel.py).
     sequence_parallel: bool = False
-    # remat policy: 'auto' picks by step size, 'full' (recompute all),
-    # 'dots' (save all matmul outputs), 'save_small' (save only [*, H]-wide
-    # outputs; recompute FFN + softmax), 'save_wide' (save FFN tensors too).
-    # Measured on v5e bert-large with the v2 attention kernel (BENCH.md):
-    # B=32 save_small 152.4 ms vs full 154.4; B=64 full 291.8 vs
-    # save_small 295.9 (the 157 MB/layer stash round-trip overtakes the
-    # recompute); B=128 only full fits.  'auto' switches to full at
-    # >=8192 joint-pass tokens (B>=52 at L=40).
+    # remat policy: 'auto' | 'full' (recompute all) | 'dots' (save all
+    # matmul outputs) | 'save_small' (save only [*, H]-wide outputs;
+    # recompute FFN + softmax) | 'save_wide' (save FFN tensors too) |
+    # 'save_attn' (save q/k/v/ctx per layer: backward skips the attention
+    # kernel's forward recompute and the QKV projections) | 'save_ctx'
+    # (save only the attention output; QKV recomputed, kernel never
+    # re-run).  'auto' walks the measured v5e ladder in
+    # Trainer._resolve_remat_policy: save_attn while its per-layer stash
+    # fits the HBM budget (from device.memory_stats), then save_ctx, then
+    # full (BENCH.md: B<=120 save_attn, B=128-160 save_ctx word-aligned).
     remat_policy: str = "auto"
     # dtype for Adam's first moment (mu): bfloat16 halves its HBM traffic in
     # the (bandwidth-bound) update with no observed training difference; use

@@ -114,7 +114,7 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y + p["bias"].astype(x.dtype)
 
 
-def gelu(x: jnp.ndarray) -> jnp.ndarray:
+def gelu(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """BERT's gelu, precision-adaptive.
 
     The reference (HF transformers) uses the exact erf formulation; on the
@@ -123,9 +123,12 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     error (<0.1% of scale, worst near |x|~2) is BELOW bf16's own ~0.4%
     rounding, so in bf16 compute it is numerically free and we take it; f32
     keeps exact erf (golden parity vs HF, tests/test_bert_golden.py --
-    matching the f32-LN / HIGHEST-precision policy above).
+    matching the f32-LN / HIGHEST-precision policy above).  SURVEY.md
+    section 7 deviation (m); ``exact=True`` (``BertConfig.exact_gelu``)
+    restores erf in bf16 for reference-parity runs.
     """
-    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+    return jax.nn.gelu(
+        x, approximate=(x.dtype == jnp.bfloat16 and not exact))
 
 
 def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
@@ -264,7 +267,7 @@ def bert_encoder(
         up = checkpoint_name(dense(h, lp["wi"]), "ffn_wide")
         # gelu in the compute dtype: in bf16 this halves FFN activation
         # traffic; in f32 it is exact (golden parity).
-        up = checkpoint_name(gelu(up), "ffn_wide")
+        up = checkpoint_name(gelu(up, cfg.exact_gelu), "ffn_wide")
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
         h = sp(layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps))

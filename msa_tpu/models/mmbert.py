@@ -161,7 +161,7 @@ def mlm_logits(params: Params, sequence_output: jnp.ndarray,
     """
     cp = params["cls"]
     x = dense(sequence_output, cp["transform_dense"])
-    x = gelu(x)
+    x = gelu(x, cfg.bert.exact_gelu)
     x = layer_norm(x, cp["transform_ln"], cfg.bert.layer_norm_eps)
     word = params["bert"]["embeddings"]["word"].astype(x.dtype)
     logits = jnp.einsum("...h,vh->...v", x, word, preferred_element_type=jnp.float32,

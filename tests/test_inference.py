@@ -45,6 +45,24 @@ def test_predict_ragged_batch(exp):
     np.testing.assert_allclose(out, out2, atol=1e-5)
 
 
+def test_predict_bounded_inflight_window(exp, monkeypatch):
+    """predict_arrays drains every `inflight_batches` dispatches (memory
+    bound on big splits, round-2 VERDICT weak #5) with identical results."""
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(14, 12, 5, 7, vocab_size=120, seed=1)
+    base = Predictor(exp, params, batch_size=2).predict_split(split)
+
+    windowed = Predictor(exp, params, batch_size=2, inflight_batches=3)
+    fetches = []
+    real_get = jax.device_get
+    monkeypatch.setattr(jax, "device_get",
+                        lambda x: fetches.append(len(x)) or real_get(x))
+    out = windowed.predict_split(split)
+    np.testing.assert_allclose(base, out, atol=1e-6)
+    # 7 batches at window 3 -> fetches of 3, 3, 1; never more than the window
+    assert fetches == [3, 3, 1]
+
+
 def test_predict_on_data_parallel_mesh(exp):
     """Serving over a dp mesh: batch rows sharded on the data axis, same
     predictions as single-device."""

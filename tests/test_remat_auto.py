@@ -32,6 +32,39 @@ def test_auto_ladder_scales_with_mesh():
     assert _trainer(128, dp=8)._resolve_remat_policy() == "save_attn"
 
 
+class _FakeDevice:
+    def __init__(self, stats):
+        self._stats = stats
+
+    def memory_stats(self):
+        if isinstance(self._stats, Exception):
+            raise self._stats
+        return self._stats
+
+
+def test_stash_budget_from_memory_stats():
+    from msa_tpu.training.trainer import _remat_stash_budget
+    # real stats: budget scales with bytes_limit (6/16 ratio, v5e-calibrated)
+    assert _remat_stash_budget(_FakeDevice({"bytes_limit": 16e9})) == 6e9
+    assert _remat_stash_budget(_FakeDevice({"bytes_limit": 32e9})) == 12e9
+    assert _remat_stash_budget(_FakeDevice({"bytes_limit": 95e9})) == \
+        6.0 / 16.0 * 95e9
+    # no stats / raising backend (CPU) -> v5e fallback
+    assert _remat_stash_budget(_FakeDevice(None)) == 6e9
+    assert _remat_stash_budget(_FakeDevice({})) == 6e9
+    assert _remat_stash_budget(_FakeDevice(NotImplementedError())) == 6e9
+
+
+def test_auto_ladder_sweeps_with_hbm(monkeypatch):
+    import msa_tpu.training.trainer as trainer_mod
+    # On a 32 GB chip B=160 (save_ctx on v5e) fits save_attn...
+    monkeypatch.setattr(trainer_mod, "_remat_stash_budget", lambda d: 12e9)
+    assert _trainer(160)._resolve_remat_policy() == "save_attn"
+    # ...and on a small chip even B=32 falls off the ladder to full.
+    monkeypatch.setattr(trainer_mod, "_remat_stash_budget", lambda d: 0.5e9)
+    assert _trainer(32)._resolve_remat_policy() == "full"
+
+
 def test_auto_ladder_frame_level():
     t = _trainer(16, seq=40, pair=984)
     assert t._resolve_remat_policy() in ("save_ctx", "full")

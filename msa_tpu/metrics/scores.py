@@ -52,6 +52,77 @@ def f1_score_weighted(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return float(total / len(y_true))
 
 
+def classification_report_dict(y_true: np.ndarray,
+                               y_pred: np.ndarray) -> Dict[str, object]:
+    """Per-class precision/recall/F1/support + accuracy + macro/weighted
+    averages (sklearn ``classification_report(output_dict=True)``
+    semantics; parity pinned in tests/test_metrics.py).
+
+    The reference prints the full sklearn table for its two binary views
+    (ref score.py:109,118); this supplies the same numbers dependency-free.
+    Class keys are stringified labels, as in sklearn.
+    """
+    y_true = np.asarray(y_true).reshape(-1)
+    y_pred = np.asarray(y_pred).reshape(-1)
+    classes = np.unique(np.concatenate([y_true, y_pred])) if len(y_true) \
+        else np.array([])
+    out: Dict[str, object] = {}
+    rows = []
+    for c in classes:
+        tp = int(np.sum((y_pred == c) & (y_true == c)))
+        fp = int(np.sum((y_pred == c) & (y_true != c)))
+        fn = int(np.sum((y_pred != c) & (y_true == c)))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        support = int(np.sum(y_true == c))
+        row = {"precision": float(prec), "recall": float(rec),
+               "f1-score": float(f1), "support": support}
+        out[str(c)] = row
+        rows.append(row)
+    n = len(y_true)
+    out["accuracy"] = accuracy_score(y_true, y_pred)
+    for name, weight in (("macro avg", [1.0 / len(rows)] * len(rows) if rows
+                          else []),
+                         ("weighted avg", [r["support"] / n for r in rows]
+                          if n else [])):
+        out[name] = {
+            k: float(sum(r[k] * w for r, w in zip(rows, weight)))
+            for k in ("precision", "recall", "f1-score")
+        }
+        out[name]["support"] = n
+    return out
+
+
+def format_classification_report(report: Dict[str, object],
+                                 digits: int = 3) -> str:
+    """Render a classification_report_dict as the familiar sklearn-style
+    table (the reference prints ``classification_report(..., digits=3)``)."""
+    classes = [k for k in report
+               if k not in ("accuracy", "macro avg", "weighted avg")]
+    width = max([len(str(c)) for c in classes + ["weighted avg"]] + [7])
+    head = ["precision", "recall", "f1-score", "support"]
+    lines = ["{:>{w}} ".format("", w=width)
+             + " ".join("{:>9}".format(h) for h in head), ""]
+
+    def row(name, r):
+        return ("{:>{w}} ".format(name, w=width)
+                + " ".join("{:>9.{d}f}".format(r[k], d=digits)
+                           for k in head[:3])
+                + " {:>9}".format(r["support"]))
+
+    for c in classes:
+        lines.append(row(c, report[c]))
+    lines.append("")
+    total = report.get("weighted avg", {}).get("support", 0)
+    lines.append("{:>{w}} ".format("accuracy", w=width)
+                 + " " * 20 + "{:>9.{d}f} {:>9}".format(
+                     report["accuracy"], total, d=digits))
+    for name in ("macro avg", "weighted avg"):
+        lines.append(row(name, report[name]))
+    return "\n".join(lines)
+
+
 def pearson_corr(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float64).reshape(-1)
     b = np.asarray(b, np.float64).reshape(-1)
@@ -135,7 +206,11 @@ def misa_report(
     """Full MISA evaluation (ref score.py:75-119) as a dict.
 
     Returns MAE / corr / mult_acc7 / acc7 / acc2 + F1 (pos-neg, zeros
-    excluded) / acc2 + F1 (non-neg vs neg) / McNemar stat+p.
+    excluded) / acc2 + F1 (non-neg vs neg) / McNemar stat+p, plus the two
+    per-class classification reports (``report_posneg``/``report_nonneg``,
+    sklearn output_dict layout) the reference prints with
+    ``classification_report(digits=3)`` (ref score.py:109,118);
+    ``verbose=True`` prints them as the familiar tables.
     """
     truth = np.asarray(test_truth, np.float64).reshape(-1)
     preds = np.asarray(test_preds, np.float64).reshape(-1)
@@ -181,10 +256,22 @@ def misa_report(
         "f1_nonneg": f1_nn,
         "mcnemar_stat": mcn["statistic"],
         "mcnemar_p": mcn["pvalue"],
+        # The reference's printed classification_report tables (score.py:
+        # 109 pos/neg zeros-excluded, 118 non-neg/neg), 0/1-labelled like
+        # its bool->int arrays.
+        "report_posneg": classification_report_dict(bt.astype(int),
+                                                    bp.astype(int)),
+        "report_nonneg": classification_report_dict(bt_n.astype(int),
+                                                    bp_n.astype(int)),
     }
     if verbose:
         for k, v in out.items():
-            print(f"{k}: {v}")
+            if not k.startswith("report_"):
+                print(f"{k}: {v}")
+        print("\nClassification Report (pos/neg) :")
+        print(format_classification_report(out["report_posneg"]))
+        print("\nClassification Report (non-neg/neg) :")
+        print(format_classification_report(out["report_nonneg"]))
     return out
 
 

@@ -103,6 +103,48 @@ def test_multiclass_acc():
     assert multiclass_acc(np.array([1.4, 2.6]), np.array([1.0, 3.0])) == 1.0
 
 
+def test_classification_report_matches_sklearn(data):
+    """Per-class precision/recall/F1/support + macro/weighted avgs match
+    sklearn.classification_report(output_dict=True) (ref prints this table,
+    score.py:109,118)."""
+    from msa_tpu.metrics import classification_report_dict
+    truth, preds = data
+    for yt, yp in [
+        ((truth > 0).astype(int), (preds > 0).astype(int)),
+        ((truth >= 0).astype(int), (preds >= 0).astype(int)),
+        # degenerate: predictions constant
+        ((truth > 0).astype(int), np.ones(len(truth), int)),
+    ]:
+        ours = classification_report_dict(yt, yp)
+        theirs = sklearn_metrics.classification_report(
+            yt, yp, output_dict=True, zero_division=0)
+        assert set(ours) == set(theirs)
+        for key, row in theirs.items():
+            if key == "accuracy":
+                assert ours[key] == pytest.approx(row)
+                continue
+            for field in ("precision", "recall", "f1-score", "support"):
+                assert ours[key][field] == pytest.approx(row[field]), \
+                    (key, field)
+
+
+def test_classification_report_in_misa(data, capsys):
+    truth, preds = data
+    rep = misa_report(truth, preds, verbose=True)
+    printed = capsys.readouterr().out
+    assert "Classification Report (pos/neg)" in printed
+    assert "weighted avg" in printed
+    for name in ("report_posneg", "report_nonneg"):
+        table = rep[name]
+        assert set(table) >= {"0", "1", "accuracy", "macro avg",
+                              "weighted avg"}
+    # the flat f1/acc2 fields agree with the nested table
+    assert rep["f1_posneg"] == pytest.approx(
+        rep["report_posneg"]["weighted avg"]["f1-score"])
+    assert rep["acc2_posneg"] == pytest.approx(
+        rep["report_posneg"]["accuracy"])
+
+
 def test_misa_report_keys(data):
     truth, preds = data
     rep = misa_report(truth, preds)

@@ -159,7 +159,8 @@ class TorchTwin(torch.nn.Module):
                + self.infonce(pooled_s, self.za(temp)))
         loss = ALPHA * mlm + ap + label_loss - BETA * nce
         return {"loss": loss, "mlm_loss": mlm, "ap_loss": ap,
-                "label_loss": label_loss, "nce": nce}
+                "label_loss": label_loss, "nce": nce,
+                "predictions": preds.view(-1)}
 
 
 def copy_heads_jax_to_torch(params, twin):

@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); default: auto")
+    # multi-process (multi-host) launch: every process runs this CLI with
+    # the same flags plus its own --process_id; jax.distributed.initialize
+    # runs before any device use.  On TPU pods with auto-detection
+    # (megascale env), pass --distributed alone.
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize (auto-detect)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (manual multi-process)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -111,7 +121,21 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or args.coordinator or args.num_processes:
+        from ..parallel.distributed import initialize, process_env_defaults
+        env = process_env_defaults()
+        initialize(
+            coordinator_address=args.coordinator or env["coordinator_address"],
+            num_processes=(args.num_processes
+                           if args.num_processes is not None
+                           else env["num_processes"]),
+            process_id=(args.process_id if args.process_id is not None
+                        else env["process_id"]))
     logger, _ = get_logger("./logs")
+    if jax.process_count() > 1:
+        logger.info("Distributed: process %d/%d, %d local of %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
     logger.info("Alpha: %s Beta: %s", args.alpha, args.beta)
 
     train_ds, val_ds, test_ds, tokenizer = load_splits(args)
@@ -163,24 +187,37 @@ def main(argv=None):
     start_epoch = 0
     resume_result = None
     if args.resume:
-        from ..training.checkpoint import load_checkpoint, resolve_checkpoint
+        from ..training.checkpoint import (
+            load_checkpoint_auto, resolve_checkpoint,
+        )
         from ..training.trainer import FitResult
         ckpt = resolve_checkpoint(args.resume)  # run dir or direct epoch dir
-        state, meta = load_checkpoint(ckpt, state)
+        state, meta = load_checkpoint_auto(ckpt, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         if "fit" in meta:  # restore best_*/patience/history, not just weights
             resume_result = FitResult.from_meta(meta["fit"], ckpt)
         logger.info("Resumed from %s at step %s (epoch %d)", ckpt,
                     meta.get("step"), start_epoch)
 
-    ckpt_dir = make_date_dir(args.checkpoint_root)
+    if jax.process_count() > 1:
+        # every process must agree on the checkpoint dir (the orbax save is
+        # collective), so the collision-probing make_date_dir is replaced
+        # by a deterministic name
+        import datetime
+        ckpt_dir = os.path.join(
+            args.checkpoint_root,
+            f"dist-{datetime.datetime.now().strftime('%Y%m%d')}"
+            f"-seed{args.seed}")
+        os.makedirs(ckpt_dir, exist_ok=True)
+    else:
+        ckpt_dir = make_date_dir(args.checkpoint_root)
     logger.info("Model save path: %s", ckpt_dir)
     state, result = trainer.fit(state, train_ds, val_ds, test_ds, logger,
                                 checkpoint_dir=ckpt_dir,
                                 start_epoch=start_epoch,
                                 resume_result=resume_result)
 
-    if result.best_preds is not None:
+    if result.best_preds is not None and jax.process_index() == 0:
         np_dir = make_date_dir(args.numpy_root)
         np.save(os.path.join(np_dir, "predict.npy"), result.best_preds)
         np.save(os.path.join(np_dir, "target.npy"), result.best_labels)

@@ -19,7 +19,7 @@ from .data.featurize import FeaturizedSplit
 from .models.mmbert import init_mmbert_params, mmbert_forward
 from .parallel.mesh import make_mesh
 from .parallel.sharding import param_shardings
-from .training.checkpoint import load_checkpoint, load_config
+from .training.checkpoint import load_checkpoint_auto, load_config
 from .training.train_state import TrainState
 
 
@@ -50,11 +50,22 @@ class Predictor:
             params = quantize_bert_params(params)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
-        self.params = jax.device_put(params, param_shardings(params, self.mesh))
+        self._multiprocess = jax.process_count() > 1
+        shardings = param_shardings(params, self.mesh)
+        if self._multiprocess:
+            # multi-host serving: assemble global param arrays from host
+            # data (device_put cannot reach other processes' shards)
+            from .parallel.distributed import global_batch_array
+            self.params = jax.tree.map(
+                lambda x, s: global_batch_array(s, np.asarray(x)),
+                jax.device_get(params), shardings)
+        else:
+            self.params = jax.device_put(params, shardings)
         from jax.sharding import NamedSharding, PartitionSpec
         from .parallel.mesh import DATA_AXIS
         self._batch_sharding = NamedSharding(self.mesh,
                                              PartitionSpec(DATA_AXIS))
+        self._replicated = NamedSharding(self.mesh, PartitionSpec())
         if self.batch_size % self.mesh.shape[DATA_AXIS]:
             raise ValueError(
                 f"batch_size {self.batch_size} must be a multiple of the "
@@ -80,7 +91,10 @@ class Predictor:
                 return preds.reshape(-1)
             return jnp.argmax(jax.nn.sigmoid(logits), axis=1)
 
-        self._forward = jax.jit(forward)
+        # multi-process: replicate outputs so the host fetch in
+        # predict_arrays never touches a non-addressable shard
+        self._forward = (jax.jit(forward, out_shardings=self._replicated)
+                         if self._multiprocess else jax.jit(forward))
 
     @classmethod
     def from_checkpoint(cls, directory: str, batch_size: int = 8,
@@ -97,7 +111,7 @@ class Predictor:
         tx = make_optimizer(config.train, 1)
         template = TrainState(params=params, opt_state=tx.init(params),
                               step=jnp.zeros((), jnp.int32))
-        state, _ = load_checkpoint(directory, template)
+        state, _ = load_checkpoint_auto(directory, template)
         return cls(config, state.params, batch_size, mesh, quantize=quantize)
 
     def predict_arrays(self, input_ids: np.ndarray, attention_mask: np.ndarray,
@@ -131,6 +145,9 @@ class Predictor:
                 if pad:
                     x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
                 # batch rows sharded over the data axis -> multi-chip serving
+                if self._multiprocess:
+                    from .parallel.distributed import global_batch_array
+                    return global_batch_array(self._batch_sharding, x)
                 return jax.device_put(x, self._batch_sharding)
 
             preds = self._forward(self.params, prep(input_ids),

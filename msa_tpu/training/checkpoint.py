@@ -34,13 +34,19 @@ def epoch_dir(directory: str, epoch: int) -> str:
     return os.path.join(directory, EPOCH_DIR_FMT.format(epoch))
 
 
+def _has_state(directory: str) -> bool:
+    """A checkpoint dir holds either the msgpack state or an orbax subdir."""
+    return (os.path.exists(os.path.join(directory, STATE_FILE))
+            or os.path.isdir(os.path.join(directory, ORBAX_SUBDIR)))
+
+
 def list_epoch_checkpoints(directory: str):
     """Sorted epoch numbers of the retained checkpoints under ``directory``."""
     out = []
     if os.path.isdir(directory):
         for name in os.listdir(directory):
-            if name.startswith("epoch_") and os.path.exists(
-                    os.path.join(directory, name, STATE_FILE)):
+            if name.startswith("epoch_") and _has_state(
+                    os.path.join(directory, name)):
                 try:
                     out.append(int(name[len("epoch_"):]))
                 except ValueError:
@@ -57,13 +63,13 @@ def resolve_checkpoint(directory: str, model_num: Optional[int] = None) -> str:
     """
     if model_num is not None:
         d = epoch_dir(directory, model_num)
-        if not os.path.exists(os.path.join(d, STATE_FILE)):
+        if not _has_state(d):
             avail = list_epoch_checkpoints(directory)
             raise FileNotFoundError(
                 f"no checkpoint for epoch {model_num} in {directory}; "
                 f"available epochs: {avail}")
         return d
-    if os.path.exists(os.path.join(directory, STATE_FILE)):
+    if _has_state(directory):
         return directory
     epochs = list_epoch_checkpoints(directory)
     if not epochs:
@@ -143,6 +149,41 @@ def save_checkpoint_sharded(
         with open(os.path.join(directory, CONFIG_FILE), "w") as f:
             f.write(config.to_json())
     return directory
+
+
+def save_checkpoint_auto(
+    directory: str,
+    state: TrainState,
+    config: Optional[ExperimentConfig] = None,
+    epoch: int = 0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Pick the serializer by process topology: single-process runs
+    host-gather to msgpack (simple, greppable); multi-process runs MUST use
+    the orbax per-shard path -- ``jax.device_get`` of a non-addressable
+    global array would fail, and each process owns only its shards."""
+    if jax.process_count() > 1:
+        d = save_checkpoint_sharded(directory, state, config, epoch)
+        if extra and jax.process_index() == 0:
+            meta_path = os.path.join(directory, META_FILE)
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta.update(extra)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=2)
+        return d
+    return save_checkpoint(directory, state, config, epoch, extra)
+
+
+def load_checkpoint_auto(directory: str, template: TrainState
+                         ) -> Tuple[TrainState, Dict[str, Any]]:
+    """Dispatch on what the checkpoint dir actually contains (meta.json
+    ``format`` / the orbax subdir), so msgpack checkpoints restore into
+    multi-process runs and vice versa."""
+    if (os.path.isdir(os.path.join(directory, ORBAX_SUBDIR))
+            and not os.path.exists(os.path.join(directory, STATE_FILE))):
+        return load_checkpoint_sharded(directory, template)
+    return load_checkpoint(directory, template)
 
 
 def load_checkpoint_sharded(directory: str, template: TrainState

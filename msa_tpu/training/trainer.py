@@ -170,6 +170,10 @@ class Trainer:
         self.on_tpu = default_on_tpu()
         self.mask_token_id = mask_token_id
         self.special_ids = tuple(special_ids)
+        # Multi-process (multi-host) topology: batches are assembled as
+        # global arrays from process-local host data, and checkpoints go
+        # through the orbax per-shard path (parallel/distributed.py).
+        self._multiprocess = jax.process_count() > 1
         self.tx = None  # set in init_state
         self._train_step = None
         self._eval_step = None
@@ -194,7 +198,13 @@ class Trainer:
             params = init_mmbert_params(rng, cfg)
             params = load_pretrained_bert(pretrained_state_dict, cfg, params)
             shardings = param_shardings(params, self.mesh)
-            params = jax.device_put(params, shardings)
+            if self._multiprocess:
+                from ..parallel.distributed import global_batch_array
+                params = jax.tree.map(
+                    lambda x, s: global_batch_array(s, np.asarray(x)),
+                    jax.device_get(params), shardings)
+            else:
+                params = jax.device_put(params, shardings)
         else:
             # Init directly on-device, sharded (one compiled program instead
             # of hundreds of eager RNG dispatches).
@@ -363,6 +373,12 @@ class Trainer:
             )
             return losses
 
+        if self._multiprocess:
+            # Replicate the outputs (scalars already are; predictions get a
+            # cheap [B]-sized all-gather) so the host fetch in eval_epoch
+            # never touches a non-addressable shard.
+            return jax.jit(eval_step,
+                           out_shardings=NamedSharding(self.mesh, P()))
         return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -383,6 +399,13 @@ class Trainer:
                 for k, v in batch.items()
             }
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        if self._multiprocess:
+            # Multi-process: some shards live on other processes' devices;
+            # device_put of a host-global array would fail.  Every process
+            # holds the same seeded global batch and contributes the shards
+            # its local devices own (parallel/distributed.py).
+            from ..parallel.distributed import shard_host_batch
+            return shard_host_batch(batch, sharding)
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     def _annotate_oom(self, err: Exception) -> Exception:
@@ -556,15 +579,18 @@ class Trainer:
                 if checkpoint_dir:
                     # one retained checkpoint PER improvement (ref keeps
                     # model_<epoch>.pt, trainer.py:268-269), carrying the
-                    # full fit/selection state for exact resume.
+                    # full fit/selection state for exact resume.  The auto
+                    # saver is a collective under multi-process (orbax
+                    # per-shard) -- every process must reach it.
                     import os
 
-                    from .checkpoint import epoch_dir, save_checkpoint
+                    from .checkpoint import epoch_dir, save_checkpoint_auto
                     d = epoch_dir(checkpoint_dir, epoch)
-                    save_checkpoint(d, state, self.config, epoch,
-                                    extra={"fit": result.to_meta()})
-                    np.save(os.path.join(d, "predict.npy"), tpreds)
-                    np.save(os.path.join(d, "target.npy"), tlabels)
+                    save_checkpoint_auto(d, state, self.config, epoch,
+                                         extra={"fit": result.to_meta()})
+                    if jax.process_index() == 0:
+                        np.save(os.path.join(d, "predict.npy"), tpreds)
+                        np.save(os.path.join(d, "target.npy"), tlabels)
 
             if patience >= tc.patience:
                 log("Early stopping at epoch %d", epoch + 1)

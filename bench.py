@@ -31,6 +31,11 @@ def main():
     p.add_argument("--adam_mu_dtype", default="bfloat16",
                    help="bf16 mu halves the bandwidth-bound update's moment "
                         "traffic; float32 for bit-exact torch parity")
+    p.add_argument("--adam_nu_dtype", default="float32")
+    p.add_argument("--remat_policy", default=None,
+                   help="override remat_policy (default: the config's auto)")
+    p.add_argument("--skip_serving", action="store_true",
+                   help="train/eval numbers only (faster A/B loops)")
     args = p.parse_args()
 
     import jax
@@ -51,7 +56,11 @@ def main():
     import dataclasses
     exp = dataclasses.replace(
         exp, data=dataclasses.replace(exp.data, max_seq_length=args.max_seq_length),
-        train=dataclasses.replace(exp.train, adam_mu_dtype=args.adam_mu_dtype))
+        train=dataclasses.replace(
+            exp.train, adam_mu_dtype=args.adam_mu_dtype,
+            adam_nu_dtype=args.adam_nu_dtype,
+            **({"remat_policy": args.remat_policy}
+               if args.remat_policy else {})))
 
     trainer = Trainer(exp)
     vdim, sdim = exp.model.visual_dim, exp.model.speech_dim
@@ -97,11 +106,11 @@ def main():
     # serving throughput via the Predictor API (pipelined dispatch), bf16
     # and the int8 MXU path
     from msa_tpu.inference import Predictor
+    serving = {}
     serve_split = synthetic_split(args.batch_size * 8, args.max_seq_length,
                                   vdim, sdim,
                                   vocab_size=exp.model.bert.vocab_size, seed=3)
-    serving = {}
-    for mode in (None, "int8"):
+    for mode in ([] if args.skip_serving else [None, "int8"]):
         pred = Predictor(exp, state.params,
                          batch_size=args.batch_size, quantize=mode)
         pred.predict_split(serve_split)  # compile

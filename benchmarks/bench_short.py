@@ -46,6 +46,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--impl", default="v1,xla")
     p.add_argument("--reps", type=int, default=30)
+    p.add_argument("--batch", type=int, default=64,
+                   help="flagship text batch B (joint runs at 2B)")
+    p.add_argument("--bwd_rows", type=int, default=None,
+                   help="override _V2_BWD_ROWS for the v2/v2p backward")
+    p.add_argument("--v2_bwd", action="store_true",
+                   help="use the old v2 backward (p*dp delta) instead of v3")
     p.add_argument("--layers", type=int, default=8,
                    help="chain this many attention calls per jit (amortize "
                         "dispatch like the 24-layer scan does)")
@@ -53,10 +59,16 @@ def main():
     args = p.parse_args()
     impls = args.impl.split(",")
 
+    from msa_tpu.ops import short_attention as sa
     from msa_tpu.ops.short_attention import short_attention
 
+    if args.bwd_rows is not None:
+        sa._V2_BWD_ROWS = args.bwd_rows
+    if args.v2_bwd:
+        sa._USE_V3_BWD = False
+
     key = jax.random.key(0)
-    shapes = [("text", 64, 40), ("joint", 128, 80)]
+    shapes = [("text", args.batch, 40), ("joint", 2 * args.batch, 80)]
     H, N = 1024, 16
 
     for name, b, s in shapes:
@@ -96,6 +108,11 @@ def main():
                 from msa_tpu.ops.short_attention import short_attention_v2
                 fn = lambda q, k, v: short_attention_v2(
                     q, k, v, bias, seed, N, args.dropout)
+            elif impl == "v2p":
+                from msa_tpu.ops.short_attention import short_attention_v2p
+                fn = lambda q, k, v: short_attention_v2p(
+                    jnp.concatenate([q, k, v], axis=-1), bias, seed, N,
+                    args.dropout)
             else:
                 continue
             f = jax.jit(chain(fn))

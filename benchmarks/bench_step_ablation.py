@@ -136,6 +136,9 @@ def main():
     if "attn16u4" in variants:
         time_train_variant("save_attn+mu16+unroll4", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16", scan_unroll=4)
+    if "pack16" in variants:
+        time_train_variant("save_pack+mu16", remat_policy="save_pack",
+                           adam_mu_dtype="bfloat16")
     if "ctx16" in variants:
         time_train_variant("save_ctx+mu16", remat_policy="save_ctx",
                            adam_mu_dtype="bfloat16")

@@ -210,7 +210,10 @@ class TrainConfig:
     # matmul outputs) | 'save_small' (save only [*, H]-wide outputs;
     # recompute FFN + softmax) | 'save_wide' (save FFN tensors too) |
     # 'save_attn' (save q/k/v/ctx per layer: backward skips the attention
-    # kernel's forward recompute and the QKV projections) | 'save_ctx'
+    # kernel's forward recompute and the QKV projections) | 'save_pack'
+    # (save_attn bytes packed as [*,3H] q|k|v + [*,H] ctx -- 2 stash
+    # buffers/layer instead of 4, via the packed short kernel; degrades to
+    # save_attn where that kernel cannot dispatch) | 'save_ctx'
     # (save only the attention output; QKV recomputed, kernel never
     # re-run).  'auto' walks the measured v5e ladder in
     # Trainer._resolve_remat_policy: save_attn while its per-layer stash

@@ -229,6 +229,29 @@ def bert_encoder(
 
     from jax.ad_checkpoint import checkpoint_name
 
+    # 'save_pack' packs q|k|v into ONE [*, 3H] named value so the scan
+    # stash moves 3 per-iteration transfers as 1 (the round-2 profile's
+    # biggest non-roofline item was exactly these latency-bound stash
+    # copies) and the packed Pallas kernel consumes/produces that layout
+    # directly.  Only the short whole-sequence kernel has a packed form;
+    # anywhere it would not dispatch (long S, TP head-parallel, XLA
+    # fallback, CPU dropout) the policy silently degrades to save_attn.
+    pack_attn = False
+    if remat_policy == "save_pack":
+        from ..ops.attention import _SHORT_MAX_SEQ
+        from ..parallel.mesh import MODEL_AXIS
+        s_len = hidden.shape[1]
+        mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+        dropout_active = (not deterministic) and rng is not None \
+            and cfg.attention_probs_dropout_prob > 0.0
+        pack_attn = (
+            s_len <= _SHORT_MAX_SEQ and mp == 1
+            and (on_tpu or use_flash == "always")
+            and not (dropout_active and not on_tpu)
+        )
+        if not pack_attn:
+            remat_policy = "save_attn"
+
     def one_layer(h, xs):
         lp, lkey = xs
         if have_rng and not deterministic:
@@ -242,19 +265,35 @@ def bert_encoder(
         # attention kernel -- its custom-vjp residuals are exactly q/k/v);
         # 'narrow' = the remaining H-wide outputs.  save_small keeps both
         # sets; save_attn keeps only 'attn_io'.
-        q = checkpoint_name(dense(h, lp["q"]), "attn_io")
-        k = checkpoint_name(dense(h, lp["k"]), "attn_io")
-        v = checkpoint_name(dense(h, lp["v"]), "attn_io")
-        ctx = checkpoint_name(multi_head_attention(
-            q, k, v, attn_bias,
-            num_heads=cfg.num_attention_heads,
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            dropout_rng=k_attn,
-            deterministic=deterministic,
-            use_flash=use_flash,
-            on_tpu=on_tpu,
-            mesh=mesh,
-        ), "attn_ctx")
+        if pack_attn:
+            from ..ops.short_attention import short_attention_v2p
+            qkv = checkpoint_name(jnp.concatenate(
+                [dense(h, lp["q"]), dense(h, lp["k"]), dense(h, lp["v"])],
+                axis=-1), "attn_pack")
+            if (not deterministic) and k_attn is not None \
+                    and cfg.attention_probs_dropout_prob > 0.0:
+                seed = jax.random.randint(k_attn, (1,), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+                rate = float(cfg.attention_probs_dropout_prob)
+            else:
+                seed, rate = None, 0.0
+            ctx = checkpoint_name(short_attention_v2p(
+                qkv, attn_bias[:, 0, 0, :], seed,
+                cfg.num_attention_heads, rate, not on_tpu), "attn_ctx")
+        else:
+            q = checkpoint_name(dense(h, lp["q"]), "attn_io")
+            k = checkpoint_name(dense(h, lp["k"]), "attn_io")
+            v = checkpoint_name(dense(h, lp["v"]), "attn_io")
+            ctx = checkpoint_name(multi_head_attention(
+                q, k, v, attn_bias,
+                num_heads=cfg.num_attention_heads,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=k_attn,
+                deterministic=deterministic,
+                use_flash=use_flash,
+                on_tpu=on_tpu,
+                mesh=mesh,
+            ), "attn_ctx")
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
         h = checkpoint_name(
@@ -301,6 +340,11 @@ def bert_encoder(
             # never re-run.  1/4 of save_attn's stash -- the memory point
             # that fits B=128.
             policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
+        elif remat_policy == "save_pack":
+            # Same stash bytes as save_attn, packed as 2 buffers/layer
+            # ([*, 3H] q|k|v + [*, H] ctx) instead of 4.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_pack", "attn_ctx")
         elif remat_policy == "save_wide":
             # Save the narrow set AND the [*, 4H] FFN tensors; backward
             # recomputes only elementwise leftovers (LN stats, dropout

@@ -314,6 +314,241 @@ def _bwd_kernel_v2(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             dvb, hpg, d, s, sp, dv_ref.dtype)
 
 
+def _bwd_kernel_v3(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, *, num_heads: int, scale: float,
+                   dropout_rate: float, rows: int):
+    """v2 backward with the flash ``delta`` trick: the softmax-vjp row sum
+    sum_j(p_dropped_ij * dp_ij) equals do_i . o_i (o = p_dropped . v), so
+    the [S, hpg*Sp]-wide f32 multiply+reduce per group collapses to a
+    d-lane-band multiply+reduce of tensors already in VMEM -- and o is
+    exactly the ctx the save_attn remat policy already stashes, so the
+    extra residual is free."""
+    blk_idx = pl.program_id(0)
+    s, h = q_ref.shape[1], q_ref.shape[2]
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+
+    for rb in range(rows):
+      b_idx = blk_idx * rows + rb
+      bias_b = _block_bias(bias_ref[rb].astype(jnp.float32), hpg, s, sp)
+      for g in range(n_groups):
+        qg = q_ref[rb, :, pl.ds(g * gw, gw)]
+        kg = k_ref[rb, :, pl.ds(g * gw, gw)]
+        vg = v_ref[rb, :, pl.ds(g * gw, gw)]
+        og = o_ref[rb, :, pl.ds(g * gw, gw)]
+        dog = do_ref[rb, :, pl.ds(g * gw, gw)]
+        kb = _block_diag_rows(kg, hpg, d, s, sp)
+        vb = _block_diag_rows(vg, hpg, d, s, sp)
+        sblk = jax.lax.dot_general(
+            qg, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias_b
+        p = _block_softmax(sblk, hpg, sp)
+        dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
+                              dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+            dpm = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pd, dpm = p, dp
+        # delta_i = do_i . o_i per head band (replaces sum_j p_ij dpm_ij)
+        doo = dog.astype(jnp.float32) * og.astype(jnp.float32)  # [S, gw]
+        ds_parts = []
+        for pi in range(hpg):
+            delta = jnp.sum(doo[:, pi * d:(pi + 1) * d], axis=-1,
+                            keepdims=True)
+            sl = slice(pi * sp, (pi + 1) * sp)
+            ds_parts.append(p[:, sl] * (dpm[:, sl] - delta))
+        ds = (ds_parts[0] if hpg == 1
+              else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+        dq = jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
+        dkb = jax.lax.dot_general(ds, qg, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvb = jax.lax.dot_general(pd.astype(dog.dtype), dog,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dq_ref[rb, :, pl.ds(g * gw, gw)] = dq.astype(dq_ref.dtype)
+        dk_ref[rb, :, pl.ds(g * gw, gw)] = _unblock_rows(
+            dkb * scale, hpg, d, s, sp, dk_ref.dtype)
+        dv_ref[rb, :, pl.ds(g * gw, gw)] = _unblock_rows(
+            dvb, hpg, d, s, sp, dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: ONE [B, S, 3H] operand instead of three [B, S, H]
+# ---------------------------------------------------------------------------
+#
+# Motivation (BENCH.md round-2 profile): under save_attn the scan stash
+# moves 5 separate [tokens, H] buffers per layer through per-iteration
+# dynamic_update_slice / dynamic_slice+squeeze copies that run latency-
+# bound (~21.8 ms of the B=96 step).  Packing q|k|v into one [tokens, 3H]
+# named value ('attn_pack') turns 3 of those per-iteration transfers into
+# 1 bigger one, XLA fuses the three projection epilogues into disjoint
+# regions of the concat buffer, and this kernel consumes/produces the
+# packed layout directly (slicing inside VMEM is free) so no unpack copies
+# ever hit HBM.  The backward emits one packed [B, S, 3H] dqkv.
+
+def _fwd_kernel_v2p(seed_ref, qkv_ref, bias_ref, o_ref, *,
+                    num_heads: int, scale: float, dropout_rate: float,
+                    rows: int):
+    blk_idx = pl.program_id(0)
+    s = qkv_ref.shape[1]
+    h = qkv_ref.shape[2] // 3
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+
+    for rb in range(rows):
+        b_idx = blk_idx * rows + rb
+        bias_b = _block_bias(bias_ref[rb].astype(jnp.float32), hpg, s, sp)
+        for g in range(n_groups):
+            qg = qkv_ref[rb, :, pl.ds(g * gw, gw)]
+            kg = qkv_ref[rb, :, pl.ds(h + g * gw, gw)]
+            vg = qkv_ref[rb, :, pl.ds(2 * h + g * gw, gw)]
+            kb = _block_diag_rows(kg, hpg, d, s, sp)
+            vb = _block_diag_rows(vg, hpg, d, s, sp)
+            sblk = jax.lax.dot_general(
+                qg, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias_b
+            p = _block_softmax(sblk, hpg, sp)
+            if dropout_rate > 0.0:
+                keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
+                                  dropout_rate)
+                p = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+            ctx = jnp.dot(p.astype(vg.dtype), vb,
+                          preferred_element_type=jnp.float32)
+            o_ref[rb, :, pl.ds(g * gw, gw)] = ctx.astype(o_ref.dtype)
+
+
+def _bwd_kernel_v2p(seed_ref, qkv_ref, bias_ref, o_ref, do_ref, dqkv_ref, *,
+                    num_heads: int, scale: float, dropout_rate: float,
+                    rows: int):
+    """v3 backward (delta from do.o) on the packed layout; dq/dk/dv land in
+    the thirds of one [R, S, 3H] output block."""
+    blk_idx = pl.program_id(0)
+    s = qkv_ref.shape[1]
+    h = qkv_ref.shape[2] // 3
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+
+    for rb in range(rows):
+      b_idx = blk_idx * rows + rb
+      bias_b = _block_bias(bias_ref[rb].astype(jnp.float32), hpg, s, sp)
+      for g in range(n_groups):
+        qg = qkv_ref[rb, :, pl.ds(g * gw, gw)]
+        kg = qkv_ref[rb, :, pl.ds(h + g * gw, gw)]
+        vg = qkv_ref[rb, :, pl.ds(2 * h + g * gw, gw)]
+        og = o_ref[rb, :, pl.ds(g * gw, gw)]
+        dog = do_ref[rb, :, pl.ds(g * gw, gw)]
+        kb = _block_diag_rows(kg, hpg, d, s, sp)
+        vb = _block_diag_rows(vg, hpg, d, s, sp)
+        sblk = jax.lax.dot_general(
+            qg, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias_b
+        p = _block_softmax(sblk, hpg, sp)
+        dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
+                              dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+            dpm = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pd, dpm = p, dp
+        doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
+        ds_parts = []
+        for pi in range(hpg):
+            delta = jnp.sum(doo[:, pi * d:(pi + 1) * d], axis=-1,
+                            keepdims=True)
+            sl = slice(pi * sp, (pi + 1) * sp)
+            ds_parts.append(p[:, sl] * (dpm[:, sl] - delta))
+        ds = (ds_parts[0] if hpg == 1
+              else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+        dq = jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
+        dkb = jax.lax.dot_general(ds, qg, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvb = jax.lax.dot_general(pd.astype(dog.dtype), dog,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqkv_ref[rb, :, pl.ds(g * gw, gw)] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[rb, :, pl.ds(h + g * gw, gw)] = _unblock_rows(
+            dkb * scale, hpg, d, s, sp, dqkv_ref.dtype)
+        dqkv_ref[rb, :, pl.ds(2 * h + g * gw, gw)] = _unblock_rows(
+            dvb, hpg, d, s, sp, dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def short_attention_v2p(qkv, key_bias, seed=None, num_heads=16,
+                        dropout_rate=0.0, interpret=False):
+    """Packed entry: qkv [B, S, 3H] (q|k|v thirds), key_bias [B, S].
+
+    Same math as :func:`short_attention_v2` (PRNG seeded per (batch,
+    head-group) tile, identical masks); backward uses the v3 delta trick
+    and returns a packed [B, S, 3H] dqkv.
+    """
+    return _v2p_fwd_call(qkv, key_bias, seed, num_heads, dropout_rate,
+                         interpret)
+
+
+def _v2p_fwd_call(qkv, key_bias, seed, num_heads, dropout_rate, interpret):
+    b, s, h3 = qkv.shape
+    h = h3 // 3
+    scale = 1.0 / math.sqrt(h // num_heads)
+    rows = _rows_per_block(b, _V2_ROWS)
+    smem, row, brow = _specs(rows)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_v2p, num_heads=num_heads, scale=scale,
+                          dropout_rate=dropout_rate, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), qkv.dtype),
+        grid=(b // rows,),
+        in_specs=[smem, row(s, h3), brow(s)],
+        out_specs=row(s, h),
+        interpret=interpret,
+    )(_seed_arg(seed), qkv, key_bias.astype(jnp.float32)[:, None, :])
+
+
+def _v2p_fwd(qkv, key_bias, seed, num_heads, dropout_rate, interpret):
+    out = _v2p_fwd_call(qkv, key_bias, seed, num_heads, dropout_rate,
+                        interpret)
+    return out, (qkv, key_bias, seed, out)
+
+
+def _v2p_bwd(num_heads, dropout_rate, interpret, residuals, g):
+    qkv, key_bias, seed, out = residuals
+    b, s, h3 = qkv.shape
+    h = h3 // 3
+    scale = 1.0 / math.sqrt(h // num_heads)
+    rows = _rows_per_block(b, _V2_BWD_ROWS)
+    smem, row, brow = _specs(rows)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2p, num_heads=num_heads, scale=scale,
+                          dropout_rate=dropout_rate, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((b, s, h3), qkv.dtype),
+        grid=(b // rows,),
+        in_specs=[smem, row(s, h3), brow(s), row(s, h), row(s, h)],
+        out_specs=row(s, h3),
+        interpret=interpret,
+    )(_seed_arg(seed), qkv, key_bias.astype(jnp.float32)[:, None, :], out, g)
+    dbias = jnp.zeros_like(key_bias)
+    dseed = (None if seed is None
+             else np.zeros(seed.shape, dtype=jax.dtypes.float0))
+    return dqkv, dbias, dseed
+
+
+short_attention_v2p.defvjp(_v2p_fwd, _v2p_bwd)
+
+
 def _seed_arg(seed):
     if seed is None:
         return jnp.zeros((1,), jnp.int32)
@@ -432,6 +667,13 @@ def short_attention_v2(q, k, v, key_bias, seed=None, num_heads=16,
 # the backward.  (v1 keeps rows=1 -- its bigger per-head bodies pipeline
 # worse, see _rows_per_block.)
 _V2_ROWS = 4
+# Backward rows-per-block, swept separately (the bwd body is ~2.5x the
+# fwd's and carries one more [R,S,H] input): module-level so bench_short
+# can sweep it without re-importing.
+_V2_BWD_ROWS = 4
+# The v3 backward (delta from do.o, see _bwd_kernel_v3) is the default;
+# module flag kept so the bench can A/B it against the v2 backward.
+_USE_V3_BWD = True
 
 
 def _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
@@ -455,28 +697,43 @@ def _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
 def _v2_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
     out = _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
                        interpret)
-    return out, (q, k, v, key_bias, seed)
+    # out rides as a residual for the v3 backward's delta = do.o; under the
+    # save_attn remat policy it is the ctx that gets stashed anyway.
+    return out, (q, k, v, key_bias, seed, out)
 
 
 def _v2_bwd(num_heads, dropout_rate, interpret, residuals, g):
-    q, k, v, key_bias, seed = residuals
+    q, k, v, key_bias, seed, out = residuals
     b, s, h = q.shape
     d = h // num_heads
     scale = 1.0 / math.sqrt(d)
-    rows = _rows_per_block(b, _V2_ROWS)
+    rows = _rows_per_block(b, _V2_BWD_ROWS)
     smem, row, brow = _specs(rows)
+    if _USE_V3_BWD:
+        kern = functools.partial(_bwd_kernel_v3, num_heads=num_heads,
+                                 scale=scale, dropout_rate=dropout_rate,
+                                 rows=rows)
+        ins = [smem, row(s, h), row(s, h), row(s, h), brow(s), row(s, h),
+               row(s, h)]
+        args = (_seed_arg(seed), q, k, v,
+                key_bias.astype(jnp.float32)[:, None, :], out, g)
+    else:
+        kern = functools.partial(_bwd_kernel_v2, num_heads=num_heads,
+                                 scale=scale, dropout_rate=dropout_rate,
+                                 rows=rows)
+        ins = [smem, row(s, h), row(s, h), row(s, h), brow(s), row(s, h)]
+        args = (_seed_arg(seed), q, k, v,
+                key_bias.astype(jnp.float32)[:, None, :], g)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, num_heads=num_heads, scale=scale,
-                          dropout_rate=dropout_rate, rows=rows),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((b, s, h), q.dtype),
                    jax.ShapeDtypeStruct((b, s, h), k.dtype),
                    jax.ShapeDtypeStruct((b, s, h), v.dtype)),
         grid=(b // rows,),
-        in_specs=[smem, row(s, h), row(s, h), row(s, h), brow(s), row(s, h)],
+        in_specs=ins,
         out_specs=(row(s, h), row(s, h), row(s, h)),
         interpret=interpret,
-    )(_seed_arg(seed), q, k, v,
-      key_bias.astype(jnp.float32)[:, None, :], g)
+    )(*args)
     dbias = jnp.zeros_like(key_bias)
     dseed = (None if seed is None
              else np.zeros(seed.shape, dtype=jax.dtypes.float0))

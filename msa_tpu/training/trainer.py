@@ -414,7 +414,8 @@ class Trainer:
         if "RESOURCE_EXHAUSTED" not in str(err):
             return err
         policy = self._resolve_remat_policy()
-        ladder = ["save_wide", "save_small", "save_attn", "save_ctx", "full"]
+        ladder = ["save_wide", "save_small", "save_pack", "save_attn",
+                  "save_ctx", "full"]
         later = ladder[ladder.index(policy) + 1:] if policy in ladder else ladder
         hint = (f"next remat_policy rung: {later[0]}" if later
                 else "already at remat_policy='full'")

@@ -102,3 +102,58 @@ def test_v2_matches_v1_bf16_and_odd_batch():
     np.testing.assert_allclose(
         np.asarray(o1, np.float32)[m], np.asarray(o2, np.float32)[m],
         atol=2e-2, rtol=2e-2)
+
+
+def test_packed_matches_unpacked():
+    """v2p (packed q|k|v operand) == v2 on outputs AND gradients; the
+    packed dqkv thirds must equal v2's dq/dk/dv."""
+    from msa_tpu.ops.short_attention import short_attention_v2p
+
+    q, k, v, mask = make(s=40, h=128)
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    w = jnp.asarray(mask)[:, :, None]
+    n = 2
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+
+    out_p = short_attention_v2p(qkv, key_bias, None, n, 0.0, True)
+    out_u = short_attention_v2(q, k, v, key_bias, None, n, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               atol=1e-6, rtol=1e-6)
+
+    gp = jax.grad(lambda x: jnp.sum(
+        short_attention_v2p(x, key_bias, None, n, 0.0, True) ** 2 * w))(qkv)
+    gu = jax.grad(lambda a, b, c: jnp.sum(
+        short_attention_v2(a, b, c, key_bias, None, n, 0.0, True) ** 2 * w),
+        argnums=(0, 1, 2))(q, k, v)
+    h = q.shape[-1]
+    for i, g in enumerate(gu):
+        np.testing.assert_allclose(
+            np.asarray(gp[:, :, i * h:(i + 1) * h]), np.asarray(g),
+            atol=1e-5, rtol=1e-5)
+
+
+def test_v3_backward_matches_v2_backward():
+    """The delta-from-do.o backward (default) == the explicit p*dp
+    reduction backward on the same inputs."""
+    from msa_tpu.ops import short_attention as sa
+
+    q, k, v, mask = make(s=24, h=64)
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    w = jnp.asarray(mask)[:, :, None]
+
+    def grads():
+        return jax.grad(lambda a, b, c: jnp.sum(
+            short_attention_v2(a, b, c, key_bias, None, 4, 0.0, True) ** 2
+            * w), argnums=(0, 1, 2))(q, k, v)
+
+    old = sa._USE_V3_BWD
+    try:
+        sa._USE_V3_BWD = True
+        g3 = grads()
+        sa._USE_V3_BWD = False
+        g2 = grads()
+    finally:
+        sa._USE_V3_BWD = old
+    for a, b in zip(g3, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -37,8 +37,18 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--variants", default="base,dots,grad_only,opt_only,fwd")
+    p.add_argument("--v2_bwd", action="store_true",
+                   help="use the old v2 backward instead of v3 (A/B)")
+    p.add_argument("--bwd_rows", type=int, default=None,
+                   help="override the short-attention backward rows/block")
     args = p.parse_args()
     variants = args.variants.split(",")
+
+    from msa_tpu.ops import short_attention as sa
+    if args.v2_bwd:
+        sa._USE_V3_BWD = False
+    if args.bwd_rows is not None:
+        sa._V2_BWD_ROWS = args.bwd_rows
 
     from msa_tpu.configs import build_experiment
     from msa_tpu.data.dataset import MultimodalDataset

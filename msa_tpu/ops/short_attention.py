@@ -671,9 +671,17 @@ _V2_ROWS = 4
 # fwd's and carries one more [R,S,H] input): module-level so bench_short
 # can sweep it without re-importing.
 _V2_BWD_ROWS = 4
-# The v3 backward (delta from do.o, see _bwd_kernel_v3) is the default;
-# module flag kept so the bench can A/B it against the v2 backward.
-_USE_V3_BWD = True
+# The v3 backward (delta from do.o, see _bwd_kernel_v3) was measured at the
+# FULL-STEP level on v5e (B=96, save_attn remat, bench_step_ablation) and
+# LOSES: 373.6 ms/step vs 363.4 with the v2 backward, even though the
+# microbench shows it faster on the text shape (0.487 vs 0.573 ms/layer) --
+# under save_attn the extra ``o`` residual is one more per-iteration stash
+# read (the step's biggest non-roofline item) and one more [R,S,H] DMA per
+# program, which outweighs the collapsed delta reduction.  save_pack (the
+# packed-QKV stash, v3-style bwd) measured worse still: 383.6 ms.  v2 stays
+# the default; the flag and kernels remain for re-evaluation at other
+# shapes (the microbench deltas flip sign between text and joint).
+_USE_V3_BWD = False
 
 
 def _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):

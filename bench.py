@@ -110,15 +110,17 @@ def main():
     serve_split = synthetic_split(args.batch_size * 8, args.max_seq_length,
                                   vdim, sdim,
                                   vocab_size=exp.model.bert.vocab_size, seed=3)
-    for mode in ([] if args.skip_serving else [None, "int8"]):
+    for mode in ([] if args.skip_serving else [None, "int8", "int8_static"]):
         pred = Predictor(exp, state.params,
-                         batch_size=args.batch_size, quantize=mode)
+                         batch_size=args.batch_size, quantize=mode,
+                         calibration=(serve_split if mode == "int8_static"
+                                      else None))
         pred.predict_split(serve_split)  # compile
         t0 = time.perf_counter()
         pred.predict_split(serve_split)
         pred.predict_split(serve_split)
         serve_dt = (time.perf_counter() - t0) / 2
-        serving["serving_samples_per_sec" + ("_int8" if mode else "")] = \
+        serving["serving_samples_per_sec" + (f"_{mode}" if mode else "")] = \
             round(len(serve_split) / serve_dt, 1)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

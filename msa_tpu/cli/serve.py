@@ -45,9 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref sampling.py --model_num)")
     p.add_argument("--vocab", required=True, help="BERT wordpiece vocab.txt")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--quantize", choices=["int8"], default=None,
+    p.add_argument("--quantize", choices=["int8", "int8_static"], default=None,
                    help="int8-quantize the encoder projections (MXU int8 "
-                        "path; ~1.2x serving throughput at bert-large)")
+                        "path; ~1.2x serving throughput at bert-large). "
+                        "'int8_static' uses static activation scales "
+                        "calibrated on --calibration (no per-token absmax "
+                        "pass in the jit)")
+    p.add_argument("--calibration", default=None,
+                   help="JSONL requests file (same schema as serving input) "
+                        "used to calibrate int8_static activation scales")
     p.add_argument("--max_wait", type=float, default=0.2,
                    help="flush a partial batch after this many seconds of "
                         "idle input (piped/streaming mode; 0 disables the "
@@ -133,15 +139,46 @@ def main(argv=None):
     from ..data.fast_wordpiece import FastTokenizer
     from ..inference import Predictor
 
+    tokenizer = FastTokenizer(args.vocab)
+    calibration = None
+    if args.quantize == "int8_static":
+        if not args.calibration:
+            raise SystemExit("--quantize int8_static needs --calibration "
+                             "<requests.jsonl>")
+        from ..data.featurize import FeaturizedSplit
+        from ..training.checkpoint import load_config, resolve_checkpoint
+        ccfg = load_config(resolve_checkpoint(args.checkpoint, args.model_num))
+        if ccfg is None:
+            raise SystemExit(f"no config.json in {args.checkpoint}")
+        splits = []
+        with open(args.calibration) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                splits.append(featurize_request(
+                    json.loads(line), tokenizer, ccfg.data.max_seq_length,
+                    ccfg.data.pair_seq_length, ccfg.model.visual_dim,
+                    ccfg.model.speech_dim))
+        if not splits:
+            raise SystemExit(f"empty calibration file {args.calibration}")
+        calibration = FeaturizedSplit(
+            input_ids=np.concatenate([s.input_ids for s in splits]),
+            attention_mask=np.concatenate([s.attention_mask for s in splits]),
+            visual=np.concatenate([s.visual for s in splits]),
+            speech=np.concatenate([s.speech for s in splits]),
+            target=np.concatenate([s.target for s in splits]),
+            segments=[], words=[])
+
     predictor = Predictor.from_checkpoint(args.checkpoint,
                                           batch_size=args.batch_size,
                                           model_num=args.model_num,
-                                          quantize=args.quantize)
+                                          quantize=args.quantize,
+                                          calibration=calibration)
     cfg = predictor.config
     L = cfg.data.max_seq_length
     Lp = cfg.data.pair_seq_length
     vdim, sdim = cfg.model.visual_dim, cfg.model.speech_dim
-    tokenizer = FastTokenizer(args.vocab)
 
     fin = open(args.input) if args.input else sys.stdin
     fout = open(args.output, "w") if args.output else sys.stdout

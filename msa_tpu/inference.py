@@ -23,17 +23,70 @@ from .training.checkpoint import load_checkpoint_auto, load_config
 from .training.train_state import TrainState
 
 
+def calibrate_act_stats(config: ExperimentConfig, params, split,
+                        batch_size: int = 8, max_batches: int = 4):
+    """Absmax activation statistics for int8 static-scale quantization.
+
+    Runs the deterministic serving forward with
+    ``mmbert_forward(collect_act_stats=True)`` over up to ``max_batches``
+    batches of ``split`` (a FeaturizedSplit) and returns the elementwise-max
+    per-layer stats dict that ``ops.quant.quantize_bert_params`` consumes.
+    """
+    cfg = config.model
+    tc = config.train
+    dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+    from .ops.attention import default_on_tpu
+    on_tpu = default_on_tpu()
+
+    @jax.jit
+    def stats_fn(params, ids, mask, visual, speech):
+        out = mmbert_forward(
+            params, ids, mask, ids, ids, visual, speech, cfg,
+            deterministic=True, compute_dtype=dtype,
+            use_flash=tc.use_flash_attention, on_tpu=on_tpu,
+            mlm_scores=False, fuse_text_pass=tc.fuse_text_pass,
+            collect_act_stats=True)
+        return out["act_stats"]
+
+    n = split.input_ids.shape[0]
+    if n == 0:
+        raise ValueError("empty calibration split")
+    agg = None
+    for start in range(0, min(n, batch_size * max_batches), batch_size):
+        end = min(start + batch_size, n)
+
+        def prep(x):
+            x = np.asarray(x[start:end])
+            pad = batch_size - (end - start)
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return x
+
+        s = jax.device_get(stats_fn(
+            params, prep(split.input_ids), prep(split.attention_mask),
+            prep(split.visual), prep(split.speech)))
+        agg = s if agg is None else jax.tree.map(np.maximum, agg, s)
+    return agg
+
+
 class Predictor:
     """Sentiment predictions from aligned tri-modal inputs."""
 
     def __init__(self, config: ExperimentConfig, params,
                  batch_size: int = 8, mesh=None, quantize: str | None = None,
-                 inflight_batches: int = 64):
+                 inflight_batches: int = 64, calibration=None):
         """``quantize='int8'`` runs the encoder's six big projections on the
         int8 MXU path (ops/quant.py): per-channel int8 weights quantized
         here once, dynamic per-token activation quant in the jit.  Serving
         only; measured ~1.2x serving throughput at bert-large on v5e with
         prediction agreement within the tanh head's noise (tests).
+
+        ``quantize='int8_static'`` additionally replaces the dynamic
+        per-token activation quant with static per-(layer, projection)
+        scales calibrated on ``calibration`` (a FeaturizedSplit): the
+        activation absmax reduce disappears from the jit, so the quantize
+        fuses into the producing op and the dequant scale constant-folds.
 
         ``inflight_batches`` bounds how many dispatched-but-unfetched
         batches ``predict_arrays`` keeps in flight (memory bound for big
@@ -48,6 +101,15 @@ class Predictor:
         if quantize == "int8":
             from .ops.quant import quantize_bert_params
             params = quantize_bert_params(params)
+        elif quantize == "int8_static":
+            if calibration is None:
+                raise ValueError(
+                    "quantize='int8_static' needs calibration= a "
+                    "FeaturizedSplit to derive static activation scales")
+            from .ops.quant import quantize_bert_params
+            stats = calibrate_act_stats(config, params, calibration,
+                                        batch_size=batch_size)
+            params = quantize_bert_params(params, act_stats=stats)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
         self._multiprocess = jax.process_count() > 1
@@ -99,7 +161,8 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, directory: str, batch_size: int = 8,
                         mesh=None, model_num: int | None = None,
-                        quantize: str | None = None) -> "Predictor":
+                        quantize: str | None = None,
+                        calibration=None) -> "Predictor":
         from .training.checkpoint import resolve_checkpoint
         directory = resolve_checkpoint(directory, model_num)
         config = load_config(directory)
@@ -112,7 +175,8 @@ class Predictor:
         template = TrainState(params=params, opt_state=tx.init(params),
                               step=jnp.zeros((), jnp.int32))
         state, _ = load_checkpoint_auto(directory, template)
-        return cls(config, state.params, batch_size, mesh, quantize=quantize)
+        return cls(config, state.params, batch_size, mesh, quantize=quantize,
+                   calibration=calibration)
 
     def predict_arrays(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                        visual: np.ndarray, speech: np.ndarray) -> np.ndarray:

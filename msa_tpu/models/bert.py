@@ -108,7 +108,8 @@ def matmul_precision(dtype) -> jax.lax.Precision:
 def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     if "qkernel" in p:  # int8 serving path (ops/quant.py)
         from ..ops.quant import int8_dense
-        return int8_dense(x, p["qkernel"], p["qscale"], p["bias"])
+        return int8_dense(x, p["qkernel"], p["qscale"], p["bias"],
+                          p.get("ascale"))
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype,
                 precision=matmul_precision(x.dtype))
     return y + p["bias"].astype(x.dtype)
@@ -184,6 +185,7 @@ def bert_encoder(
     remat_policy: str = "full",
     mesh=None,
     sequence_parallel: bool = False,
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     """Run all transformer layers via one lax.scan.
 
@@ -203,6 +205,11 @@ def bert_encoder(
     o/wo projections into reduce-scatter + all-gather pairs, and LN /
     dropout / residual math runs on S/mp tokens per chip.  Numerics are
     identical (constraints are identity); pinned in tests/test_seq_parallel.py.
+
+    ``collect_act_stats=True`` (int8 static-scale calibration,
+    ops/quant.py): returns ``(hidden, stats)`` where stats maps
+    {"attn_in", "ctx", "mlp_in", "ffn_act"} to [num_layers] f32 absmax of
+    the inputs feeding each quantized projection class.
     """
     layers = params["layers"]
     num_layers = cfg.num_hidden_layers
@@ -252,8 +259,14 @@ def bert_encoder(
         if not pack_attn:
             remat_policy = "save_attn"
 
+    def _absmax(x):
+        return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
     def one_layer(h, xs):
         lp, lkey = xs
+        stats = {}
+        if collect_act_stats:
+            stats["attn_in"] = _absmax(h)
         if have_rng and not deterministic:
             k_attn, k_post, k_mlp = jax.random.split(lkey, 3)
         else:
@@ -294,11 +307,15 @@ def bert_encoder(
                 on_tpu=on_tpu,
                 mesh=mesh,
             ), "attn_ctx")
+        if collect_act_stats:
+            stats["ctx"] = _absmax(ctx)
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
         h = checkpoint_name(
             sp(layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps)),
             "narrow")
+        if collect_act_stats:
+            stats["mlp_in"] = _absmax(h)
         # --- mlp ---
         # 'ffn_wide' marks the [*, 4H] tensors: the recompute_ffn policy
         # saves everything EXCEPT these (they dominate activation memory;
@@ -307,10 +324,12 @@ def bert_encoder(
         # gelu in the compute dtype: in bf16 this halves FFN activation
         # traffic; in f32 it is exact (golden parity).
         up = checkpoint_name(gelu(up, cfg.exact_gelu), "ffn_wide")
+        if collect_act_stats:
+            stats["ffn_act"] = _absmax(up)
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
         h = sp(layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps))
-        return h, None
+        return h, (stats if collect_act_stats else None)
 
     if remat:
         # 'full': recompute everything in backward (min HBM).
@@ -356,8 +375,10 @@ def bert_encoder(
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)
-    hidden, _ = jax.lax.scan(one_layer, hidden, (layers, layer_keys),
-                             unroll=unroll)
+    hidden, ys = jax.lax.scan(one_layer, hidden, (layers, layer_keys),
+                              unroll=unroll)
+    if collect_act_stats:
+        return hidden, ys  # {stat: [num_layers] f32}
     return hidden
 
 

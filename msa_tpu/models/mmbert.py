@@ -232,8 +232,14 @@ def mmbert_forward(
     remat_policy: str = "full",
     mesh=None,
     sequence_parallel: bool = False,
+    collect_act_stats: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Three-view forward.  Returns every head output needed by the loss.
+
+    ``collect_act_stats=True`` (int8 static-scale calibration): the output
+    gains "act_stats", per-layer f32 absmax of the inputs feeding each
+    quantizable encoder projection, merged (elementwise max) across the
+    text and joint passes -- see ops/quant.py.
 
     ``mlm_scores=False`` omits the materialized [.., vocab] MLM logit
     tensors ("mlm_text"/"mlm_joint"); the loss then computes the MLM CE in
@@ -290,7 +296,11 @@ def mmbert_forward(
                                use_flash=use_flash, on_tpu=on_tpu,
                                remat=remat, unroll=unroll,
                                remat_policy=remat_policy, mesh=mesh,
-                               sequence_parallel=sequence_parallel)
+                               sequence_parallel=sequence_parallel,
+                               collect_act_stats=collect_act_stats)
+        act_stats = None
+        if collect_act_stats:
+            seq_all, act_stats = seq_all
         pooled_all = bert_pooler(bert, seq_all)
         seq_t = seq_all[:b, :l]
         seq_j = seq_all[b:]
@@ -304,7 +314,11 @@ def mmbert_forward(
                              use_flash=use_flash, on_tpu=on_tpu,
                              remat=remat, unroll=unroll,
                              remat_policy=remat_policy, mesh=mesh,
-                             sequence_parallel=sequence_parallel)
+                             sequence_parallel=sequence_parallel,
+                             collect_act_stats=collect_act_stats)
+        act_stats = None
+        if collect_act_stats:
+            seq_t, act_stats = seq_t
         pooled_t = bert_pooler(bert, seq_t)
         joint_x = jnp.concatenate([joint_v, joint_s], axis=0)  # [2B, 2L, H]
         bias_j = extended_attention_mask(jnp.concatenate([mask_v, mask_s], axis=0))
@@ -313,7 +327,11 @@ def mmbert_forward(
                              use_flash=use_flash, on_tpu=on_tpu,
                              remat=remat, unroll=unroll,
                              remat_policy=remat_policy, mesh=mesh,
-                             sequence_parallel=sequence_parallel)
+                             sequence_parallel=sequence_parallel,
+                             collect_act_stats=collect_act_stats)
+        if collect_act_stats:
+            seq_j, stats_j = seq_j
+            act_stats = jax.tree.map(jnp.maximum, act_stats, stats_j)
         pooled_j = bert_pooler(bert, seq_j)
         pooled_v, pooled_s = pooled_j[:b], pooled_j[b:]
 
@@ -337,6 +355,8 @@ def mmbert_forward(
     if mlm_scores:
         out["mlm_text"] = mlm_logits(params, seq_t, cfg)   # [B, L, Vp] f32
         out["mlm_joint"] = mlm_logits(params, seq_j, cfg)  # [2B, 2L, Vp] f32
+    if collect_act_stats:
+        out["act_stats"] = act_stats
     return out
 
 

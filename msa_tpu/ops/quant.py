@@ -38,40 +38,88 @@ def quantize_weight(kernel: jnp.ndarray, eps: float = 1e-12):
 
 
 def int8_dense(x: jnp.ndarray, qkernel: jnp.ndarray, qscale: jnp.ndarray,
-               bias: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic per-row activation quant + int8 MXU matmul + dequant.
+               bias: jnp.ndarray, ascale: jnp.ndarray | None = None
+               ) -> jnp.ndarray:
+    """int8 MXU matmul with dynamic OR static activation quantization.
 
     ``x``: [..., K] (bf16/f32); ``qkernel``: [K, N] int8; ``qscale``: [N];
     ``bias``: [N].  Returns x.dtype [..., N].
+
+    ``ascale=None`` (dynamic): symmetric per-row (per-token) scales from an
+    absmax reduce over x -- robust, but the reduce is a separate VPU pass
+    over the activations that XLA cannot fuse into the producer (measured:
+    requant work caps the int8 chain at 238 of 394 TOP/s, BENCH.md).
+
+    ``ascale`` a scalar (static, calibrated offline): the quantize becomes a
+    purely elementwise round/clip that XLA fuses into the producing op's
+    epilogue (LN / gelu), and the dequant scale ``ascale * qscale`` is a
+    constant folded into the matmul's int32->f32 convert.  Activations
+    beyond the calibrated absmax saturate at +-127 (use a margin or enough
+    calibration data; accuracy-gated in tests / Predictor).
     """
     x32 = x.astype(jnp.float32)
-    row = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0 + 1e-12
+    if ascale is None:
+        row = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0 + 1e-12
+    else:
+        row = ascale.astype(jnp.float32)  # scalar: no reduction pass
     xi = jnp.clip(jnp.round(x32 / row), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xi, qkernel, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * row * qscale.astype(jnp.float32)
+    out = acc.astype(jnp.float32) * (row * qscale.astype(jnp.float32))
     return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 # encoder projections worth the int8 path (the [*, H] x [H, *] heavies)
 _QUANT_LAYER_KEYS = ("q", "k", "v", "o", "wi", "wo")
 
+# Which calibrated activation statistic feeds each projection's static
+# scale: q/k/v read the post-LN residual stream, o reads the attention
+# context, wi the post-attention-LN stream, wo the gelu output.  Keys match
+# the per-layer stats bert_encoder(collect_act_stats=True) emits.
+_PROJ_STAT = {"q": "attn_in", "k": "attn_in", "v": "attn_in",
+              "o": "ctx", "wi": "mlp_in", "wo": "ffn_act"}
 
-def quantize_bert_params(params):
+
+def act_scales_from_stats(act_stats, margin: float = 1.0):
+    """Per-layer absmax stats -> per-(layer, projection) static scales.
+
+    ``act_stats``: {"attn_in"|"ctx"|"mlp_in"|"ffn_act": [L] f32 absmax}
+    (elementwise max over calibration batches).  Returns {proj: [L] f32
+    scale}; ``margin > 1`` leaves saturation headroom beyond the calibrated
+    absmax.
+    """
+    return {
+        proj: (jnp.asarray(act_stats[stat], jnp.float32) * margin / 127.0
+               + 1e-12)
+        for proj, stat in _PROJ_STAT.items()
+    }
+
+
+def quantize_bert_params(params, act_stats=None, margin: float = 1.0):
     """Return a params pytree whose encoder projection kernels are int8.
 
     Each quantized dense becomes {"qkernel", "qscale", "bias"}; everything
     else (embeddings, LN, pooler, heads, joint/fusion/CPC) is untouched.
     ``models.bert.dense`` dispatches on the "qkernel" key.
+
+    ``act_stats`` (from a calibration forward with
+    ``mmbert_forward(collect_act_stats=True)``) additionally attaches a
+    static per-(layer, projection) activation scale "ascale" [L], switching
+    ``int8_dense`` from dynamic per-token to static quantization.
     """
+    ascales = (None if act_stats is None
+               else act_scales_from_stats(act_stats, margin))
     params = dict(params)
     bert = dict(params["bert"])
     layers = dict(bert["layers"])
     for key in _QUANT_LAYER_KEYS:
         p = layers[key]
         qk, qs = quantize_weight(jnp.asarray(p["kernel"], jnp.float32))
-        layers[key] = {"qkernel": qk, "qscale": qs, "bias": p["bias"]}
+        entry = {"qkernel": qk, "qscale": qs, "bias": p["bias"]}
+        if ascales is not None:
+            entry["ascale"] = ascales[key]
+        layers[key] = entry
     bert["layers"] = layers
     params["bert"] = bert
     return params

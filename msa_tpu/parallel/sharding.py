@@ -31,6 +31,10 @@ def _spec_for(path: str, ndim: int) -> P:
     m = MODEL_AXIS
     if "embeddings/word" in path:
         return P(m, None)
+    if path.endswith("ascale"):
+        # static activation scale: [L] per-layer scalar (ops/quant.py) --
+        # replicated (the q/k/v column-shard rule below must not split it)
+        return P()
     if "layers/q/" in path or "layers/k/" in path or "layers/v/" in path or "layers/wi/" in path:
         # stacked [L, in, out] kernels / [L, out] biases: shard the out dim
         return P(*([None] * (ndim - 1) + [m]))

@@ -69,6 +69,68 @@ def test_predictor_int8_agrees(exp):
     assert np.corrcoef(q, full)[0, 1] > 0.99
 
 
+def test_int8_dense_static_scale_accuracy():
+    """Static per-tensor activation scale ~ dynamic per-row accuracy when
+    calibrated at the true absmax."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96,)), jnp.float32)
+    qk, qs = quantize_weight(w)
+    ascale = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+    out = int8_dense(x, qk, qs, b, ascale)
+    ref = x @ w + b
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.04  # per-tensor scale is coarser than per-row; still tight
+    # saturation: inputs beyond the calibrated absmax clip, never blow up
+    out_hot = int8_dense(x * 10.0, qk, qs, b, ascale)
+    assert bool(jnp.all(jnp.isfinite(out_hot)))
+
+
+def test_act_stats_collection_and_scales(exp):
+    """mmbert_forward(collect_act_stats=True) emits per-layer absmax that
+    quantize_bert_params turns into [L] static scales."""
+    from msa_tpu.models.mmbert import mmbert_forward
+    from msa_tpu.ops.quant import act_scales_from_stats
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(4, 12, 5, 7, vocab_size=120, seed=1)
+    ids = jnp.asarray(split.input_ids[:4])
+    mask = jnp.asarray(split.attention_mask[:4])
+    out = mmbert_forward(params, ids, mask, ids, ids,
+                         jnp.asarray(split.visual[:4]),
+                         jnp.asarray(split.speech[:4]), exp.model,
+                         deterministic=True, mlm_scores=False,
+                         collect_act_stats=True)
+    stats = out["act_stats"]
+    L = exp.model.bert.num_hidden_layers
+    assert set(stats) == {"attn_in", "ctx", "mlp_in", "ffn_act"}
+    for v in stats.values():
+        assert v.shape == (L,) and bool(jnp.all(v > 0))
+    scales = act_scales_from_stats(stats)
+    assert set(scales) == {"q", "k", "v", "o", "wi", "wo"}
+    qp = quantize_bert_params(params, act_stats=stats)
+    for proj in ("q", "k", "v", "o", "wi", "wo"):
+        assert qp["bert"]["layers"][proj]["ascale"].shape == (L,)
+
+
+def test_predictor_int8_static_agrees(exp):
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(12, 12, 5, 7, vocab_size=120, seed=0)
+    full = Predictor(exp, params, batch_size=4).predict_split(split)
+    q = Predictor(exp, params, batch_size=4, quantize="int8_static",
+                  calibration=split).predict_split(split)
+    assert q.shape == full.shape
+    np.testing.assert_allclose(q, full, atol=0.08)
+    assert np.corrcoef(q, full)[0, 1] > 0.99
+
+
+def test_predictor_int8_static_requires_calibration(exp):
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    with pytest.raises(ValueError):
+        Predictor(exp, params, quantize="int8_static")
+
+
 def test_predictor_int8_on_meshes(exp):
     """int8 serving under dp and dp x tp meshes == single-device int8."""
     from msa_tpu.parallel.mesh import make_mesh
@@ -96,8 +158,10 @@ def test_quantized_params_shardable(exp):
     from msa_tpu.parallel.mesh import make_mesh
     from msa_tpu.parallel.sharding import param_specs
 
-    params = quantize_bert_params(init_mmbert_params(jax.random.key(0),
-                                                     exp.model))
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    stats = {k: jnp.ones((exp.model.bert.num_hidden_layers,), jnp.float32)
+             for k in ("attn_in", "ctx", "mlp_in", "ffn_act")}
+    params = quantize_bert_params(params, act_stats=stats)
     specs = param_specs(params)
     layers = specs["bert"]["layers"]
     from jax.sharding import PartitionSpec as P
@@ -105,3 +169,6 @@ def test_quantized_params_shardable(exp):
     assert layers["q"]["qscale"] == P(None, "model")
     assert layers["o"]["qkernel"] == P(None, "model", None)
     assert layers["o"]["qscale"] == P()
+    # static activation scales are per-layer scalars -- never sharded
+    for proj in ("q", "k", "v", "o", "wi", "wo"):
+        assert layers[proj]["ascale"] == P()

@@ -31,7 +31,11 @@ def main():
     p.add_argument("--adam_mu_dtype", default="bfloat16",
                    help="bf16 mu halves the bandwidth-bound update's moment "
                         "traffic; float32 for bit-exact torch parity")
-    p.add_argument("--adam_nu_dtype", default="float32")
+    p.add_argument("--adam_nu_dtype", default="bfloat16",
+                   help="bf16 nu shaves the remaining optimizer-state "
+                        "traffic; quality-gated by tests/test_nu16_quality.py "
+                        "(loss trajectories track f32 within 5%% over 30 "
+                        "steps); float32 for bit-exact torch parity")
     p.add_argument("--remat_policy", default=None,
                    help="override remat_policy (default: the config's auto)")
     p.add_argument("--skip_serving", action="store_true",

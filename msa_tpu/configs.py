@@ -226,8 +226,11 @@ class TrainConfig:
     adam_mu_dtype: str = "float32"
     # dtype for Adam's second moment (nu); honored by both the optax path
     # (optim.scale_by_adam_casted) and the fused path.  bfloat16 shaves the
-    # update's nu read+write but costs ~3 relative digits on the
-    # denominator; float32 default.
+    # update's nu read+write; nu only feeds 1/(sqrt(nu_hat)+eps), so its
+    # ~0.4% rounding perturbs the effective per-param LR by <0.2% -- loss
+    # trajectories track f32 within 5% over 30 steps
+    # (tests/test_nu16_quality.py).  float32 default here for bit-exact
+    # torch AdamW parity; bench.py flips it (like mu) for the perf config.
     adam_nu_dtype: str = "float32"
     # Run the AdamW update as one fused Pallas pass per tensor
     # (training/optim.py::FusedAdamW); semantics identical to the optax

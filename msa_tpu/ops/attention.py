@@ -39,6 +39,11 @@ _FLASH_MIN_SEQ = 1024
 # At or below this, the whole-sequence short_attention kernel dispatches
 # (natural-layout, zero HBM intermediates -- the MSA S=40/80 hot path).
 _SHORT_MAX_SEQ = 512
+# Flash kernel block sizes (q / kv).  512x512 won the generic S>=1024
+# sweep (BENCH.md round 2); module-level so bench harnesses can A/B them
+# per workload (benchmarks/bench_frame_level.py).
+_FLASH_BQ = 512
+_FLASH_BK = 512
 
 
 def default_on_tpu() -> bool:
@@ -528,13 +533,14 @@ def multi_head_attention(
             seed, rate = None, 0.0
         # 512-blocks won the v5e sweep at every S>=1024 (BENCH.md round 2);
         # shorter sequences use one whole-sequence block.
-        blk = min(512, _round_up(s, 128))
+        bq = min(_FLASH_BQ, _round_up(s, 128))
+        bk = min(_FLASH_BK, _round_up(s, 128))
 
         def flash_bsh(qx, kx, vx, bias_x, seed_x):
             nh = qx.shape[-1] // d
             t = lambda x: x.reshape(x.shape[0], s, nh, d).transpose(0, 2, 1, 3)
             out = _flash_attention(t(qx), t(kx), t(vx), bias_x, seed_x,
-                                   blk, blk, rate, not on_tpu)
+                                   bq, bk, rate, not on_tpu)
             return out.transpose(0, 2, 1, 3).reshape(qx.shape)
 
         from ..parallel.mesh import MODEL_AXIS

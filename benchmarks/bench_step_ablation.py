@@ -155,6 +155,13 @@ def main():
     if "attn16u2" in variants:
         time_train_variant("save_attn+mu16+unroll2", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16", scan_unroll=2)
+    if "attn16noscan" in variants:
+        time_train_variant("save_attn+mu16+noscan", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16", scan_unroll=0)
+    if "attn16nu" in variants:
+        time_train_variant("save_attn+mu16+nu16", remat_policy="save_attn",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

@@ -199,6 +199,10 @@ class TrainConfig:
     # the +20% padded tokens cost more than the saved launches -> off.
     fuse_text_pass: bool = False
     # lax.scan unroll factor over encoder layers (compile time vs schedule).
+    # 0 = no scan at all: a Python loop over static layer indices, which
+    # turns the per-layer remat residuals into independent buffers (no
+    # scan-stash dynamic_slice/squeeze copies in the backward) at ~L x the
+    # compile time.
     scan_unroll: int = 1
     # Megatron-style sequence parallelism (requires model_parallel > 1):
     # the residual stream is constrained to a sequence-sharded layout at

@@ -341,29 +341,37 @@ def bert_encoder(
         #   projections + post-attention LN), recompute the FFN and the
         #   attention softmax -- 2/3 of the matmul-recompute saving at 1/4
         #   of the HBM cost of 'dots'.
+        # 'attn_lse' (every list below): the long-seq flash2 kernel's saved
+        # softmax stats ([B, G, hpg, Sq] f32, ~2 MB/layer at S=1024) --
+        # saving them together with 'attn_ctx' means the backward consumes
+        # the kernel's custom-vjp residuals straight from the stash and
+        # NEVER re-runs its forward (measured ~90 ms/step of the frame-level
+        # step before this).  The name simply never fires for the short
+        # kernel / XLA paths.
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx", "narrow")
+                "attn_io", "attn_ctx", "attn_lse", "narrow")
         elif remat_policy == "save_attn":
             # Save only q/k/v/ctx: backward skips the attention kernel's
             # forward recompute and the QKV projections (~2/3 of
             # save_small's stash bytes), recomputes o-proj/LN/FFN.
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx")
+                "attn_io", "attn_ctx", "attn_lse")
         elif remat_policy == "save_ctx":
             # Save ONLY the attention output: the QKV projections are
             # recomputed (3 matmuls/layer) and feed the attention kernel's
             # custom-vjp backward directly, but the kernel's own forward is
             # never re-run.  1/4 of save_attn's stash -- the memory point
             # that fits B=128.
-            policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_ctx", "attn_lse")
         elif remat_policy == "save_pack":
             # Same stash bytes as save_attn, packed as 2 buffers/layer
             # ([*, 3H] q|k|v + [*, H] ctx) instead of 4.
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_pack", "attn_ctx")
+                "attn_pack", "attn_ctx", "attn_lse")
         elif remat_policy == "save_wide":
             # Save the narrow set AND the [*, 4H] FFN tensors; backward
             # recomputes only elementwise leftovers (LN stats, dropout
@@ -371,12 +379,30 @@ def bert_encoder(
             # here -- excluding gelu's input/output just makes jax save
             # gelu's equally-wide INTERNAL intermediates instead (verified).
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx", "narrow", "ffn_wide")
+                "attn_io", "attn_ctx", "attn_lse", "narrow", "ffn_wide")
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)
-    hidden, ys = jax.lax.scan(one_layer, hidden, (layers, layer_keys),
-                              unroll=unroll)
+    if unroll == 0:
+        # Python loop over static layer indices (no lax.scan): every
+        # jax.checkpoint residual becomes its own buffer, so the backward
+        # reads them directly instead of through the scan stash's
+        # per-iteration dynamic_slice+squeeze copies (the largest
+        # non-roofline item in the round-2 step profile).  Costs ~L x the
+        # traced/compiled code size.
+        stats = []
+        hidden_out = hidden
+        for li in range(num_layers):
+            lp = jax.tree.map(lambda x: x[li], layers)
+            hidden_out, st = one_layer(hidden_out, (lp, layer_keys[li]))
+            if collect_act_stats:
+                stats.append(st)
+        hidden = hidden_out
+        ys = (jax.tree.map(lambda *xs: jnp.stack(xs), *stats)
+              if collect_act_stats else None)
+    else:
+        hidden, ys = jax.lax.scan(one_layer, hidden, (layers, layer_keys),
+                                  unroll=unroll)
     if collect_act_stats:
         return hidden, ys  # {stat: [num_layers] f32}
     return hidden

@@ -44,6 +44,10 @@ _SHORT_MAX_SEQ = 512
 # per workload (benchmarks/bench_frame_level.py).
 _FLASH_BQ = 512
 _FLASH_BK = 512
+# Dispatch the natural-layout lane-packed flash kernel (ops/flash2.py) for
+# long sequences instead of the head-split one below.  False = the original
+# [B,N,S,D] kernel (kept for A/B and as the reference implementation).
+_USE_FLASH2 = True
 
 
 def default_on_tpu() -> bool:
@@ -536,12 +540,22 @@ def multi_head_attention(
         bq = min(_FLASH_BQ, _round_up(s, 128))
         bk = min(_FLASH_BK, _round_up(s, 128))
 
-        def flash_bsh(qx, kx, vx, bias_x, seed_x):
-            nh = qx.shape[-1] // d
-            t = lambda x: x.reshape(x.shape[0], s, nh, d).transpose(0, 2, 1, 3)
-            out = _flash_attention(t(qx), t(kx), t(vx), bias_x, seed_x,
-                                   bq, bk, rate, not on_tpu)
-            return out.transpose(0, 2, 1, 3).reshape(qx.shape)
+        if _USE_FLASH2:
+            # Natural-layout lane-packed kernel: no head-split transposes,
+            # full-128-lane dots, remat-saveable lse residual (flash2.py).
+            from .flash2 import flash_attention2
+
+            def flash_bsh(qx, kx, vx, bias_x, seed_x):
+                nh = qx.shape[-1] // d
+                return flash_attention2(qx, kx, vx, bias_x, seed_x, nh,
+                                        rate, not on_tpu)
+        else:
+            def flash_bsh(qx, kx, vx, bias_x, seed_x):
+                nh = qx.shape[-1] // d
+                t = lambda x: x.reshape(x.shape[0], s, nh, d).transpose(0, 2, 1, 3)
+                out = _flash_attention(t(qx), t(kx), t(vx), bias_x, seed_x,
+                                       bq, bk, rate, not on_tpu)
+                return out.transpose(0, 2, 1, 3).reshape(qx.shape)
 
         from ..parallel.mesh import MODEL_AXIS
         mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1

@@ -1,0 +1,418 @@
+"""Blockwise flash attention v2: NATURAL [B, S, H] layout + lane packing.
+
+The original flash kernel (ops/attention.py) works in the [B, N, S, D]
+head-split layout: XLA inserts ~8 relayout transposes per encoder layer
+around it, and with BERT's d=64 every MXU dot uses only half the 128
+contracting/output lanes.  Profiled at the frame-level S=1024 step
+(benchmarks/bench_frame_level.py, round 3) the kernels + transposes were
+~40% of the 1038 ms step, running at ~19% of bf16 peak.
+
+This kernel applies the short_attention v2 recipe to blockwise flash:
+
+  * q/k/v/ctx stay in the natural [B, S, H] layout end to end -- heads are
+    lane-sliced in-kernel in ``hpg``-head 128-lane groups, so NO transposes
+    exist anywhere in the graph;
+  * each (batch, head-group, q-block) program runs online softmax over kv
+    blocks with BLOCK-DIAGONAL packed operands (short_attention.py's
+    ``_block_diag_rows``): the qk^T and pv dots engage all 128 lanes;
+  * softmax stats (m, l) are tracked per head band; the saved row-lse comes
+    out as one [B, G, hpg, Sq] f32 tensor;
+  * in-kernel attention dropout from the TPU PRNG, regenerated bit-identical
+    in both backward kernels from (seed, tile_id);
+  * the custom-vjp residuals are exactly (q, k, v, ctx, lse):
+    ``checkpoint_name`` tags lse as 'attn_lse' so the remat policies in
+    models/bert.py can SAVE it -- combined with the call-site's 'attn_ctx'
+    tag the backward then never re-runs the forward kernel (under the old
+    kernel that re-run was unavoidable and cost ~90 ms/step at S=1024).
+
+Replaces the delegated HF attention math for long sequences (ref
+MMBertForPretraining.py:270-276); dispatched from
+ops/attention.py::multi_head_attention when S >= _FLASH_MIN_SEQ.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .short_attention import (
+    _block_bias,
+    _block_diag_rows,
+    _heads_per_group,
+    _keep_mask,
+    _round_up,
+    _seed_arg,
+    _unblock_rows,
+)
+
+NEG_INF = -1e9
+
+# Block sizes (module-level so bench harnesses can sweep them).  Defaults
+# from the v5e S=1024 frame-level step sweep (BENCH.md round 3).
+_BQ = 512
+_BK = 512
+_BWD_BQ = 256
+_BWD_BK = 512
+
+
+def _tile_id(i, g, r, kb, n_groups, n_qb, n_kb):
+    """Dropout tile id, shared by fwd / dq / dkv so masks regenerate
+    bit-identical: one tile = one (batch, head-group, q-block, kv-block)
+    [bq, hpg*bk] probs block."""
+    return ((i * n_groups + g) * n_qb + r) * n_kb + kb
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                hpg: int, d: int, bk: int, scale: float,
+                dropout_rate: float):
+    """One (batch, group, q-block) program.
+
+    Blocks: q_ref/o_ref [1, bq, gw]; k_ref/v_ref [1, Sk, gw] (this group's
+    lane band); bias_ref [1, 1, Sk]; lse_ref [1, 1, hpg, bq].
+    """
+    qg = q_ref[0]                      # [bq, gw]
+    bq, gw = qg.shape
+    sk = k_ref.shape[1]
+    num_kb = sk // bk
+    i, g, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_groups, n_qb = pl.num_programs(1), pl.num_programs(2)
+
+    def body(kb_idx, carry):
+        acc, m, l = carry              # [bq, gw] f32, [bq, hpg], [bq, hpg]
+        start = kb_idx * bk
+        kb_nat = k_ref[0, pl.ds(start, bk), :]
+        vb_nat = v_ref[0, pl.ds(start, bk), :]
+        kb_ = _block_diag_rows(kb_nat, hpg, d, bk, bk)   # [hpg*bk, gw]
+        vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
+        bias_b = _block_bias(
+            bias_ref[0, :, pl.ds(start, bk)].astype(jnp.float32),
+            hpg, bk, bk)               # [1, hpg*bk]
+        s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale \
+            + bias_b
+        # per-head online-softmax update over this kv block
+        p_parts, alpha_band = [], []
+        m_new_cols, l_cols = [], []
+        for h in range(hpg):
+            sh = s[:, h * bk:(h + 1) * bk]
+            mh = m[:, h:h + 1]
+            mh_new = jnp.maximum(mh, jnp.max(sh, axis=-1, keepdims=True))
+            ph = jnp.exp(sh - mh_new)
+            ah = jnp.exp(mh - mh_new)
+            l_cols.append(l[:, h:h + 1] * ah
+                          + jnp.sum(ph, axis=-1, keepdims=True))
+            m_new_cols.append(mh_new)
+            p_parts.append(ph)
+            alpha_band.append(jnp.broadcast_to(ah, (bq, d)))
+        p = p_parts[0] if hpg == 1 else jnp.concatenate(p_parts, axis=-1)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed_ref, _tile_id(i, g, r, kb_idx, n_groups, n_qb, num_kb),
+                p.shape, dropout_rate)
+            p = jnp.where(keep, p, 0.0)
+        alpha = (alpha_band[0] if hpg == 1
+                 else jnp.concatenate(alpha_band, axis=-1))  # [bq, gw]
+        acc = acc * alpha + jnp.dot(p.astype(vb_.dtype), vb_,
+                                    preferred_element_type=jnp.float32)
+        m = m_new_cols[0] if hpg == 1 else jnp.concatenate(m_new_cols, -1)
+        l = l_cols[0] if hpg == 1 else jnp.concatenate(l_cols, -1)
+        return acc, m, l
+
+    acc0 = jnp.zeros((bq, gw), jnp.float32)
+    m0 = jnp.full((bq, hpg), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, hpg), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    inv_l = jnp.concatenate(
+        [jnp.broadcast_to(1.0 / l_safe[:, h:h + 1], (bq, d))
+         for h in range(hpg)], axis=-1) if hpg > 1 else 1.0 / l_safe
+    if dropout_rate > 0.0:
+        acc = acc / (1.0 - dropout_rate)
+    o_ref[0] = (acc * inv_l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe)).T.astype(jnp.float32)  # [hpg, bq]
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+               lse_ref, dq_ref, *, hpg: int, d: int, bk: int, scale: float,
+               dropout_rate: float):
+    """dQ for one (batch, group, q-block); delta from the do.o band trick."""
+    qg = q_ref[0]
+    dog = do_ref[0]
+    og = o_ref[0]
+    bq, gw = qg.shape
+    sk = k_ref.shape[1]
+    num_kb = sk // bk
+    i, g, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_groups, n_qb = pl.num_programs(1), pl.num_programs(2)
+
+    lse = lse_ref[0, 0].astype(jnp.float32)            # [hpg, bq]
+    # one [1, bq] -> [bq, 1] relayout per head, hoisted out of the kv loop
+    lse_col = [lse[h:h + 1, :].T for h in range(hpg)]
+    doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
+    delta = [jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+             for h in range(hpg)]                      # hpg x [bq, 1]
+
+    def body(kb_idx, dq):
+        start = kb_idx * bk
+        kb_nat = k_ref[0, pl.ds(start, bk), :]
+        vb_nat = v_ref[0, pl.ds(start, bk), :]
+        kb_ = _block_diag_rows(kb_nat, hpg, d, bk, bk)
+        vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
+        bias_b = _block_bias(
+            bias_ref[0, :, pl.ds(start, bk)].astype(jnp.float32),
+            hpg, bk, bk)
+        s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale \
+            + bias_b
+        dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed_ref, _tile_id(i, g, r, kb_idx, n_groups, n_qb, num_kb),
+                dp.shape, dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds_parts = []
+        for h in range(hpg):
+            sl = slice(h * bk, (h + 1) * bk)
+            ph = jnp.exp(s[:, sl] - lse_col[h])
+            ds_parts.append(ph * (dp[:, sl] - delta[h]))
+        ds = (ds_parts[0] if hpg == 1
+              else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+        return dq + jnp.dot(ds, kb_, preferred_element_type=jnp.float32) \
+            * scale
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, gw), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                lse_ref, dk_ref, dv_ref, *, hpg: int, d: int, bq: int,
+                scale: float, dropout_rate: float):
+    """dK/dV for one (batch, group, kv-block); loops q blocks."""
+    kb_nat = k_ref[0]                  # [bk, gw]
+    vb_nat = v_ref[0]
+    bk, gw = kb_nat.shape
+    sq = q_ref.shape[1]
+    num_qb = sq // bq
+    i, g, kb_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_groups, num_kb = pl.num_programs(1), pl.num_programs(2)
+
+    kb_ = _block_diag_rows(kb_nat, hpg, d, bk, bk)
+    vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
+    bias_b = _block_bias(bias_ref[0].astype(jnp.float32), hpg, bk, bk)
+
+    def body(qb_idx, carry):
+        dkb, dvb = carry               # [hpg*bk, gw] f32
+        start = qb_idx * bq
+        qg = q_ref[0, pl.ds(start, bq), :]
+        dog = do_ref[0, pl.ds(start, bq), :]
+        og = o_ref[0, pl.ds(start, bq), :]
+        lse = lse_ref[0, 0, :, pl.ds(start, bq)].astype(jnp.float32)
+        lse_col = [lse[h:h + 1, :].T for h in range(hpg)]
+        s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale \
+            + bias_b
+        p_parts = []
+        for h in range(hpg):
+            p_parts.append(jnp.exp(s[:, h * bk:(h + 1) * bk]
+                                   - lse_col[h]))
+        p = p_parts[0] if hpg == 1 else jnp.concatenate(p_parts, axis=-1)
+        dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed_ref, _tile_id(i, g, qb_idx, kb_idx, n_groups, num_qb,
+                                   num_kb),
+                p.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+            dpm = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pd, dpm = p, dp
+        doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
+        ds_parts = []
+        for h in range(hpg):
+            deltah = jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1,
+                             keepdims=True)
+            sl = slice(h * bk, (h + 1) * bk)
+            ds_parts.append(p[:, sl] * (dpm[:, sl] - deltah))
+        ds = (ds_parts[0] if hpg == 1
+              else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+        dvb = dvb + jax.lax.dot_general(
+            pd.astype(dog.dtype), dog, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkb = dkb + jax.lax.dot_general(
+            ds, qg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dkb, dvb
+
+    z = jnp.zeros((hpg * bk, gw), jnp.float32)
+    dkb, dvb = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = _unblock_rows(dkb * scale, hpg, d, bk, bk, dk_ref.dtype)
+    dv_ref[0] = _unblock_rows(dvb, hpg, d, bk, bk, dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _pad_tokens(x, target):
+    if x.shape[1] == target:
+        return x
+    return jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)))
+
+
+def _padded(q, k, v, key_bias, bq, bk):
+    s = q.shape[1]
+    sq = _round_up(s, bq)
+    sk = _round_up(s, bk)
+    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
+                   constant_values=NEG_INF)[:, None, :]   # [B, 1, Sk]
+    return _pad_tokens(q, sq), _pad_tokens(k, sk), _pad_tokens(v, sk), \
+        bias, sq, sk
+
+
+def _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret,
+              with_lse):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, h = q.shape
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    n_groups = num_heads // hpg
+    scale = 1.0 / math.sqrt(d)
+    bq, bk = min(_BQ, _round_up(s, 128)), min(_BK, _round_up(s, 128))
+    qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
+    grid = (b, n_groups, sq // bq)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, hpg=hpg, d=d, bk=bk, scale=scale,
+                          dropout_rate=dropout_rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sq, h), q.dtype),
+            jax.ShapeDtypeStruct((b, n_groups, hpg, sq), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, bq, gw), lambda i, g, r: (i, r, g)),
+            pl.BlockSpec((1, sk, gw), lambda i, g, r: (i, 0, g)),
+            pl.BlockSpec((1, sk, gw), lambda i, g, r: (i, 0, g)),
+            pl.BlockSpec((1, 1, sk), lambda i, g, r: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, gw), lambda i, g, r: (i, r, g)),
+            pl.BlockSpec((1, 1, hpg, bq), lambda i, g, r: (i, g, 0, r)),
+        ),
+        interpret=interpret,
+    )(_seed_arg(seed), qp, kp, vp, bias)
+    out = out[:, :s, :]
+    if with_lse:
+        return out, lse
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention2(q, k, v, key_bias, seed=None, num_heads=16,
+                     dropout_rate=0.0, interpret=False):
+    """q/k/v: [B, S, H] natural layout; key_bias: [B, S] additive mask.
+
+    Returns ctx [B, S, H].  ``seed``: [1] int32 for in-kernel attention
+    dropout (TPU only; tiles are (batch, head-group, q-block, kv-block), so
+    masks differ from the head-split kernel's -- equally valid draws).
+    """
+    return _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
+                     interpret, with_lse=False)
+
+
+def _flash2_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
+                         interpret, with_lse=True)
+    # 'attn_lse' lets the remat policies (models/bert.py) SAVE the softmax
+    # stats ([B, G, hpg, Sq] f32 -- ~2 MB/layer at the frame-level shape);
+    # together with the call site's 'attn_ctx' tag on ``out`` the backward
+    # below then runs from the stash without re-executing the fwd kernel.
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (q, k, v, key_bias, seed, out, lse)
+
+
+def _flash2_bwd(num_heads, dropout_rate, interpret, residuals, g):
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, key_bias, seed, out, lse = residuals
+    b, s, h = q.shape
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    n_groups = num_heads // hpg
+    scale = 1.0 / math.sqrt(d)
+    if dropout_rate > 0.0:
+        # the dropout tile id is (program, kv-iter)-indexed, so masks only
+        # regenerate bit-identical when the backward uses the FORWARD's
+        # block decomposition
+        bq = min(_BQ, _round_up(s, 128))
+        bk = min(_BK, _round_up(s, 128))
+    else:
+        bq = min(_BWD_BQ, _round_up(s, 128))
+        bk = min(_BWD_BK, _round_up(s, 128))
+    qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
+    # forward may have used different block sizes; lse's padded length is
+    # round_up(s, fwd_bq) -- re-pad to this backward's sq
+    if lse.shape[-1] != sq:
+        lse = lse[..., :s]
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, 0), (0, sq - s)))
+    dop = _pad_tokens(g, sq)
+    op = _pad_tokens(out, sq)
+    seed_a = _seed_arg(seed)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    qspec = pl.BlockSpec((1, bq, gw), lambda i, g_, r: (i, r, g_))
+    kspec = pl.BlockSpec((1, sk, gw), lambda i, g_, r: (i, 0, g_))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, hpg=hpg, d=d, bk=bk, scale=scale,
+                          dropout_rate=dropout_rate),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h), q.dtype),
+        grid=(b, n_groups, sq // bq),
+        in_specs=[
+            smem, qspec, kspec, kspec,
+            pl.BlockSpec((1, 1, sk), lambda i, g_, r: (i, 0, 0)),
+            qspec, qspec,
+            pl.BlockSpec((1, 1, hpg, bq), lambda i, g_, r: (i, g_, 0, r)),
+        ],
+        out_specs=qspec,
+        interpret=interpret,
+    )(seed_a, qp, kp, vp, bias, dop, op, lse)
+
+    kvspec = pl.BlockSpec((1, bk, gw), lambda i, g_, c: (i, c, g_))
+    qfull = pl.BlockSpec((1, sq, gw), lambda i, g_, c: (i, 0, g_))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, hpg=hpg, d=d, bq=bq, scale=scale,
+                          dropout_rate=dropout_rate),
+        out_shape=(jax.ShapeDtypeStruct((b, sk, h), k.dtype),
+                   jax.ShapeDtypeStruct((b, sk, h), v.dtype)),
+        grid=(b, n_groups, sk // bk),
+        in_specs=[
+            smem, qfull, kvspec, kvspec,
+            pl.BlockSpec((1, 1, bk), lambda i, g_, c: (i, 0, c)),
+            qfull, qfull,
+            pl.BlockSpec((1, 1, hpg, sq), lambda i, g_, c: (i, g_, 0, 0)),
+        ],
+        out_specs=(kvspec, kvspec),
+        interpret=interpret,
+    )(seed_a, qp, kp, vp, bias, dop, op, lse)
+
+    dbias = jnp.zeros_like(key_bias)
+    dseed = (None if seed is None
+             else np.zeros(seed.shape, dtype=jax.dtypes.float0))
+    return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :], dbias, dseed
+
+
+flash_attention2.defvjp(_flash2_fwd, _flash2_bwd)

@@ -4,10 +4,12 @@ Checks on the real TPU (CPU interpret-mode parity lives in
 tests/test_flash2.py):
 
   1. deterministic fwd + grads vs the XLA path at bf16 ulp;
-  2. in-kernel dropout: determinism per seed, keep fraction, seed
-     decorrelation, and fwd/bwd mask CONSISTENCY via a directional
-     finite-difference check through the custom vjp (same seed on both
-     sides of the difference -- any fwd/bwd mask mismatch breaks it).
+  2. in-kernel dropout: determinism per seed, seed decorrelation, and
+     seed-mean unbiasedness.  fwd/bwd mask CONSISTENCY is validated by the
+     same-mask oracle in validate_flash2_dropout.py (a finite-difference
+     probe was tried first and is numerically hopeless here: the f32
+     representation error of the ~1e5-magnitude loss swamps the ~1e-3
+     directional signal).
 
 Usage: python benchmarks/validate_flash2.py
 """
@@ -91,29 +93,8 @@ def main():
     print(f"dropout: 20-seed mean vs deterministic maxdiff {bias_err:.3f} "
           f"(output magnitude {ref_mag:.2f})")
 
-    # fwd/bwd mask consistency: directional finite difference in f32
-    qf = q.astype(jnp.float32)[:1, :256]
-    kf = k.astype(jnp.float32)[:1, :256]
-    vf = v.astype(jnp.float32)[:1, :256]
-    bf = key_bias[:1, :256]
-
-    def loss_d(qx):
-        o = flash_attention2(qx, kf, vf, bf, seed, n, rate, False)
-        return jnp.sum(o.astype(jnp.float32) ** 2)
-
-    u = jnp.asarray(rng.standard_normal(qf.shape), jnp.float32)
-    u = u / jnp.linalg.norm(u.reshape(-1))
-    g = jax.jit(jax.grad(loss_d))(qf)
-    directional = float(jnp.sum(g * u))
-    eps = 3e-2
-    lp = float(jax.jit(loss_d)(qf + eps * u))
-    lm = float(jax.jit(loss_d)(qf - eps * u))
-    fd = (lp - lm) / (2 * eps)
-    rel = abs(fd - directional) / max(abs(fd), 1e-6)
-    print(f"dropout grad check: <g,u>={directional:.4f} fd={fd:.4f} "
-          f"rel err {rel:.4f}")
-    assert rel < 0.05, "fwd/bwd dropout masks inconsistent"
-    print("ALL OK")
+    assert bias_err < 0.2 * ref_mag, "dropout mean biased"
+    print("ALL OK (mask consistency: run validate_flash2_dropout.py)")
 
 
 if __name__ == "__main__":

@@ -336,10 +336,15 @@ def _flash2_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
 
     out, lse = _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
                          interpret, with_lse=True)
-    # 'attn_lse' lets the remat policies (models/bert.py) SAVE the softmax
-    # stats ([B, G, hpg, Sq] f32 -- ~2 MB/layer at the frame-level shape);
-    # together with the call site's 'attn_ctx' tag on ``out`` the backward
-    # below then runs from the stash without re-executing the fwd kernel.
+    # Tag BOTH residual outputs here, inside the vjp fwd, so the residual
+    # vars ARE the policy-saved named values.  Tagging only at the call
+    # site (models/bert.py wraps the return in 'attn_ctx') saves a value
+    # one name-op DOWNSTREAM of the residual, and remat re-runs the whole
+    # forward kernel to rebuild the raw ``out``/``lse`` -- measured as a
+    # 97 ms/step rematted pallas_call at the frame-level shape before this.
+    # 'attn_lse' is the softmax stats ([B, G, hpg, Sq] f32, ~2 MB/layer at
+    # S=1024); with ctx+lse stashed the backward never re-runs the forward.
+    out = checkpoint_name(out, "attn_ctx")
     lse = checkpoint_name(lse, "attn_lse")
     return out, (q, k, v, key_bias, seed, out, lse)
 

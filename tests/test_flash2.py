@@ -7,6 +7,8 @@ gradients through the custom vjp.  In-kernel dropout needs the TPU PRNG
 and is validated on hardware (benchmarks/validate_flash2_dropout.py).
 """
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -72,6 +74,29 @@ def test_flash2_gradients_match_xla():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_flash2_no_fwd_rerun_under_save_attn():
+    """Under the save_attn/save_ctx remat policies the backward must consume
+    the stashed ctx+lse residuals and NEVER re-run the forward kernel.
+    Counts pallas_call equations in the grad jaxpr: 1 fwd + dq + dkv = 3.
+    (A 4th = the rematted forward re-run; that cost 97 ms/step at the
+    frame-level shape when the residuals weren't the policy-named vars.)"""
+    n = 2
+    q, k, v, key_bias, mask = make_inputs(s=40, h=128)
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "attn_io", "attn_ctx", "attn_lse")
+
+    @functools.partial(jax.checkpoint, policy=policy)
+    def block(q, k, v):
+        return flash_attention2(q, k, v, key_bias, None, n, 0.0, True)
+
+    def loss(q, k, v):
+        return jnp.sum(block(q, k, v) ** 2)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    n_calls = str(jaxpr).count("pallas_call")
+    assert n_calls == 3, f"expected 3 pallas_calls (fwd+dq+dkv), got {n_calls}"
 
 
 def test_flash2_gradients_padded_length():

@@ -9,7 +9,9 @@ every H-K matmul, fwd AND bwd.
 
 This microbench times a 24-layer chain of the encoder's dense shapes
 (fwd + bwd, bias-grad included) both ways at the flagship token count, so
-BENCH.md can record a measured verdict instead of an estimate.
+BENCH.md can record a measured verdict instead of an estimate.  Layers are
+remat'd (like the real step) -- keeping 24x[19200,4096] activations OOMs
+the 16G chip.
 
 Usage: python benchmarks/bench_bias_fold.py [--tokens 19200] [--reps 10]
 """
@@ -64,7 +66,8 @@ def main():
             x = jnp.dot(u, wo) + bol
             return x, None
 
-        x, _ = jax.lax.scan(layer, x, (Wh, bh, Wi, bi, Wo, bo))
+        x, _ = jax.lax.scan(jax.checkpoint(layer), x,
+                            (Wh, bh, Wi, bi, Wo, bo))
         return jnp.sum(x.astype(jnp.float32))
 
     # folded: W' = [W; b] with a ones column appended to x each matmul
@@ -88,7 +91,7 @@ def main():
             x = jnp.dot(aug(u), wof)
             return x, None
 
-        x, _ = jax.lax.scan(layer, x, (Whf, Wif, Wof))
+        x, _ = jax.lax.scan(jax.checkpoint(layer), x, (Whf, Wif, Wof))
         return jnp.sum(x.astype(jnp.float32))
 
     g_sep = jax.jit(jax.grad(chain_sep))

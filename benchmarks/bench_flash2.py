@@ -51,10 +51,14 @@ def main():
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--old", action="store_true", help="also time the old kernel")
+    p.add_argument("--split_bwd", action="store_true",
+                   help="use the split dq/dkv backward instead of the fused one")
     args = p.parse_args()
 
     from msa_tpu.ops import flash2
     from msa_tpu.ops.attention import _flash_attention
+    if args.split_bwd:
+        flash2._FUSED_BWD = False
 
     b, s, h, n = args.batch, args.seq, args.hidden, args.heads
     d = h // n

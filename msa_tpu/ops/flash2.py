@@ -53,11 +53,20 @@ from .short_attention import (
 NEG_INF = -1e9
 
 # Block sizes (module-level so bench harnesses can sweep them).  Defaults
-# from the v5e S=1024 frame-level step sweep (BENCH.md round 3).
-_BQ = 512
-_BK = 512
+# from the v5e S=1024 joint-shape sweep (benchmarks/bench_flash2.py,
+# BENCH.md round 3): bq=256/bk=1024 beats 512/512 by ~1.5 ms/call fwd+bwd
+# (fewer online-softmax passes); 512/1024 overflows the 16 MB scoped VMEM
+# in the backward.
+_BQ = 256
+_BK = 1024
 _BWD_BQ = 256
-_BWD_BK = 512
+_BWD_BK = 1024
+# One fused backward program per (batch, group) computing dq+dk+dv in a
+# single sweep: the softmax recompute (exp) and the dropout mask regen run
+# ONCE per tile instead of once in _dq_kernel and again in _dkv_kernel,
+# and the qk^T / do.v^T dots drop from 7 to 5 per tile.  False = the
+# split two-kernel backward (kept for A/B).
+_FUSED_BWD = True
 
 
 def _tile_id(i, g, r, kb, n_groups, n_qb, n_kb):
@@ -257,6 +266,99 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     dv_ref[0] = _unblock_rows(dvb, hpg, d, bk, bk, dv_ref.dtype)
 
 
+def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                      o_ref, lse_ref, dq_ref, dk_ref, dv_ref, dq_acc, *,
+                      hpg: int, d: int, bq: int, bk: int, scale: float,
+                      dropout_rate: float):
+    """dQ+dK+dV for one (batch, group) program in a single sweep.
+
+    Blocks: q/do/o/dq [1, Sq, gw]; k/v/dk/dv [1, Sk, gw]; bias [1, 1, Sk];
+    lse [1, 1, hpg, Sq]; dq_acc VMEM scratch [Sq, gw] f32.  Loops kv blocks
+    outer / q blocks inner; p = exp(s - lse) and the dropout mask are
+    computed ONCE per (q, kv) tile and feed all three gradients (the split
+    kernels each recomputed them).  5 block dots per tile vs the split
+    backward's 7.
+    """
+    sq = q_ref.shape[1]
+    sk = k_ref.shape[1]
+    gw = q_ref.shape[2]
+    num_qb, num_kb = sq // bq, sk // bk
+    i, g = pl.program_id(0), pl.program_id(1)
+    n_groups = pl.num_programs(1)
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    dq_acc[...] = jnp.zeros((sq, gw), jnp.float32)
+
+    def kv_body(kb_idx, _):
+        start_k = kb_idx * bk
+        kb_nat = k_ref[0, pl.ds(start_k, bk), :]
+        vb_nat = v_ref[0, pl.ds(start_k, bk), :]
+        kb_ = _block_diag_rows(kb_nat, hpg, d, bk, bk)       # [hpg*bk, gw]
+        vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
+        bias_b = _block_bias(
+            bias_ref[0, :, pl.ds(start_k, bk)].astype(jnp.float32),
+            hpg, bk, bk)                                     # [1, hpg*bk]
+
+        def q_body(qb_idx, carry):
+            dkb, dvb = carry                                 # [hpg*bk, gw] f32
+            start_q = qb_idx * bq
+            qg = q_ref[0, pl.ds(start_q, bq), :]
+            dog = do_ref[0, pl.ds(start_q, bq), :]
+            og = o_ref[0, pl.ds(start_q, bq), :]
+            s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) \
+                * scale + bias_b
+            dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # delta_i = do_i . o_i per head (recomputed per kv block --
+            # hpg sums over [bq, d], cheap next to the exp)
+            doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
+            delta_b = [jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1,
+                               keepdims=True) for h in range(hpg)]
+            lse_b = lse_ref[0, 0, :, pl.ds(start_q, bq)].astype(jnp.float32)
+            lse_col = [lse_b[h:h + 1, :].T for h in range(hpg)]
+            p_parts = [jnp.exp(s[:, h * bk:(h + 1) * bk] - lse_col[h])
+                       for h in range(hpg)]
+            p = (p_parts[0] if hpg == 1
+                 else jnp.concatenate(p_parts, axis=-1))     # [bq, hpg*bk]
+            if dropout_rate > 0.0:
+                keep = _keep_mask(
+                    seed_ref,
+                    _tile_id(i, g, qb_idx, kb_idx, n_groups, num_qb, num_kb),
+                    p.shape, dropout_rate)
+                pd = jnp.where(keep, p, 0.0) * inv
+                dpm = jnp.where(keep, dp, 0.0) * inv
+            else:
+                pd, dpm = p, dp
+            ds_parts = [
+                p_parts[h] * (dpm[:, h * bk:(h + 1) * bk] - delta_b[h])
+                for h in range(hpg)
+            ]
+            ds = (ds_parts[0] if hpg == 1
+                  else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+            dvb = dvb + jax.lax.dot_general(
+                pd.astype(dog.dtype), dog, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dkb = dkb + jax.lax.dot_general(
+                ds, qg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_acc[pl.ds(start_q, bq), :] += jax.lax.dot_general(
+                ds, kb_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dkb, dvb
+
+        z = jnp.zeros((hpg * bk, gw), jnp.float32)
+        dkb, dvb = jax.lax.fori_loop(0, num_qb, q_body, (z, z))
+        dk_ref[0, pl.ds(start_k, bk), :] = _unblock_rows(
+            dkb * scale, hpg, d, bk, bk, dk_ref.dtype)
+        dv_ref[0, pl.ds(start_k, bk), :] = _unblock_rows(
+            dvb, hpg, d, bk, bk, dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_kb, kv_body, 0)
+    dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
@@ -378,6 +480,31 @@ def _flash2_bwd(num_heads, dropout_rate, interpret, residuals, g):
     op = _pad_tokens(out, sq)
     seed_a = _seed_arg(seed)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if _FUSED_BWD:
+        qband = pl.BlockSpec((1, sq, gw), lambda i, g_: (i, 0, g_))
+        kband = pl.BlockSpec((1, sk, gw), lambda i, g_: (i, 0, g_))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, hpg=hpg, d=d, bq=bq, bk=bk,
+                              scale=scale, dropout_rate=dropout_rate),
+            out_shape=(jax.ShapeDtypeStruct((b, sq, h), q.dtype),
+                       jax.ShapeDtypeStruct((b, sk, h), k.dtype),
+                       jax.ShapeDtypeStruct((b, sk, h), v.dtype)),
+            grid=(b, n_groups),
+            in_specs=[
+                smem, qband, kband, kband,
+                pl.BlockSpec((1, 1, sk), lambda i, g_: (i, 0, 0)),
+                qband, qband,
+                pl.BlockSpec((1, 1, hpg, sq), lambda i, g_: (i, g_, 0, 0)),
+            ],
+            out_specs=(qband, kband, kband),
+            scratch_shapes=[pltpu.VMEM((sq, gw), jnp.float32)],
+            interpret=interpret,
+        )(seed_a, qp, kp, vp, bias, dop, op, lse)
+        dbias = jnp.zeros_like(key_bias)
+        dseed = (None if seed is None
+                 else np.zeros(seed.shape, dtype=jax.dtypes.float0))
+        return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :], dbias, dseed
 
     qspec = pl.BlockSpec((1, bq, gw), lambda i, g_, r: (i, r, g_))
     kspec = pl.BlockSpec((1, sk, gw), lambda i, g_, r: (i, 0, g_))

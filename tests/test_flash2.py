@@ -79,9 +79,10 @@ def test_flash2_gradients_match_xla():
 def test_flash2_no_fwd_rerun_under_save_attn():
     """Under the save_attn/save_ctx remat policies the backward must consume
     the stashed ctx+lse residuals and NEVER re-run the forward kernel.
-    Counts pallas_call equations in the grad jaxpr: 1 fwd + dq + dkv = 3.
-    (A 4th = the rematted forward re-run; that cost 97 ms/step at the
-    frame-level shape when the residuals weren't the policy-named vars.)"""
+    Counts pallas_call equations in the grad jaxpr: 1 fwd + the backward
+    (1 fused kernel, or dq + dkv = 2 split).  (One more = the rematted
+    forward re-run; that cost 97 ms/step at the frame-level shape when the
+    residuals weren't the policy-named vars.)"""
     n = 2
     q, k, v, key_bias, mask = make_inputs(s=40, h=128)
     policy = jax.checkpoint_policies.save_only_these_names(
@@ -96,7 +97,10 @@ def test_flash2_no_fwd_rerun_under_save_attn():
 
     jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     n_calls = str(jaxpr).count("pallas_call")
-    assert n_calls == 3, f"expected 3 pallas_calls (fwd+dq+dkv), got {n_calls}"
+    from msa_tpu.ops import flash2
+    want = 2 if flash2._FUSED_BWD else 3
+    assert n_calls == want, \
+        f"expected {want} pallas_calls (no rematted fwd re-run), got {n_calls}"
 
 
 def test_flash2_gradients_padded_length():

@@ -69,6 +69,19 @@ _BWD_BK = 1024
 _FUSED_BWD = True
 
 
+def _pick_block(s: int, pref: int) -> int:
+    """Largest block <= pref that adds no padding beyond the 128-lane
+    round-up.  bk=1024 wins at S=1024 (one kv block, single softmax pass)
+    but would pad S=1536 to 2048 (+33% kv FLOPs); this picks 512 there.
+    Forward and backward derive blocks identically from S, so the dropout
+    tile decomposition stays bit-identical."""
+    s128 = _round_up(s, 128)
+    b = min(pref, s128)
+    while b > 128 and s128 % b:
+        b //= 2
+    return b if s128 % b == 0 else 128
+
+
 def _tile_id(i, g, r, kb, n_groups, n_qb, n_kb):
     """Dropout tile id, shared by fwd / dq / dkv so masks regenerate
     bit-identical: one tile = one (batch, head-group, q-block, kv-block)
@@ -389,7 +402,7 @@ def _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret,
     gw = hpg * d
     n_groups = num_heads // hpg
     scale = 1.0 / math.sqrt(d)
-    bq, bk = min(_BQ, _round_up(s, 128)), min(_BK, _round_up(s, 128))
+    bq, bk = _pick_block(s, _BQ), _pick_block(s, _BK)
     qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
     grid = (b, n_groups, sq // bq)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -465,11 +478,9 @@ def _flash2_bwd(num_heads, dropout_rate, interpret, residuals, g):
         # the dropout tile id is (program, kv-iter)-indexed, so masks only
         # regenerate bit-identical when the backward uses the FORWARD's
         # block decomposition
-        bq = min(_BQ, _round_up(s, 128))
-        bk = min(_BK, _round_up(s, 128))
+        bq, bk = _pick_block(s, _BQ), _pick_block(s, _BK)
     else:
-        bq = min(_BWD_BQ, _round_up(s, 128))
-        bk = min(_BWD_BK, _round_up(s, 128))
+        bq, bk = _pick_block(s, _BWD_BQ), _pick_block(s, _BWD_BK)
     qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
     # forward may have used different block sizes; lse's padded length is
     # round_up(s, fwd_bq) -- re-pad to this backward's sq
@@ -481,7 +492,19 @@ def _flash2_bwd(num_heads, dropout_rate, interpret, residuals, g):
     seed_a = _seed_arg(seed)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    if _FUSED_BWD:
+    # The fused program holds full q/k/v/do/o/dq/dk/dv bands plus the f32
+    # accumulators and one [bq, hpg*bk] f32 tile set in VMEM; past ~S=2048
+    # that overflows the 16 MB scoped budget and the split kernels (which
+    # block the kv side) take over.
+    itemsize = jnp.dtype(q.dtype).itemsize
+    fused_bytes = ((4 * sq + 4 * sk) * gw * itemsize   # bands + outputs
+                   + sq * gw * 4                        # dq accumulator
+                   + 2 * hpg * bk * gw * 4              # dk/dv accumulators
+                   + 4 * bq * hpg * bk * 4)             # live f32 tiles
+    # (4 live tiles calibrated against the S=1024 joint shape, which is
+    # measured to compile at 12.5 MB by this formula; 6 would wrongly
+    # predict an overflow there.)
+    if _FUSED_BWD and fused_bytes < 14 * 1024 * 1024:
         qband = pl.BlockSpec((1, sq, gw), lambda i, g_: (i, 0, g_))
         kband = pl.BlockSpec((1, sk, gw), lambda i, g_: (i, 0, g_))
         dq, dk, dv = pl.pallas_call(

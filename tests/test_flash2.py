@@ -103,6 +103,29 @@ def test_flash2_no_fwd_rerun_under_save_attn():
         f"expected {want} pallas_calls (no rematted fwd re-run), got {n_calls}"
 
 
+def test_flash2_split_bwd_matches_fused():
+    """The split dq/dkv backward (the long-S fallback when the fused
+    program's bands exceed scoped VMEM) must produce the same grads."""
+    from msa_tpu.ops import flash2
+    n = 2
+    q, k, v, key_bias, mask = make_inputs(s=40, h=128, seed=5)
+
+    def loss(q, k, v):
+        out = flash_attention2(q, k, v, key_bias, None, n, 0.0, True)
+        return jnp.sum(out ** 2 * mask[:, :, None])
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    old = flash2._FUSED_BWD
+    flash2._FUSED_BWD = False
+    try:
+        g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        flash2._FUSED_BWD = old
+    for a, b in zip(g_fused, g_split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_flash2_gradients_padded_length():
     # S=200 exercises padded q rows / masked kv columns in BOTH backward
     # kernels (zero-contribution rows must stay exactly zero-contribution).

@@ -53,6 +53,8 @@ def main():
     p.add_argument("--old", action="store_true", help="also time the old kernel")
     p.add_argument("--split_bwd", action="store_true",
                    help="use the split dq/dkv backward instead of the fused one")
+    p.add_argument("--table", action="store_true",
+                   help="flash2 vs XLA across S (the BENCH.md flash table)")
     args = p.parse_args()
 
     from msa_tpu.ops import flash2
@@ -113,6 +115,50 @@ def main():
         print(f"old head-split (incl transposes): fwd {to_f:7.2f} ms "
               f"({tf_fwd / to_f * 1e3:5.1f} TF/s)  fwd+bwd {to_g:7.2f} ms "
               f"({tf_bwd / to_g * 1e3:5.1f} TF/s)")
+
+    if args.table:
+        # flash2 vs XLA across S (regenerates BENCH.md's flash table).
+        from msa_tpu.ops.attention import _xla_attention
+
+        bt = 4  # the round-2 table's batch; XLA S^2 probs OOM at B=32/S=4096
+        for s_ in (1024, 1536, 2048, 4096):
+            qs, ks, vs, kb = make(bt, s_, h)
+            tf_fwd_s = 4 * bt * n * s_ * s_ * d / 1e12
+            tf_bwd_s = tf_fwd_s * (1 + 5 / 2)
+
+            @jax.jit
+            def f2(q, k, v, kb=kb):
+                return flash2.flash_attention2(
+                    q, k, v, kb, seed, n, rate, False
+                ).astype(jnp.float32).sum()
+
+            @jax.jit
+            def g2(q, k, v, kb=kb):
+                gr = jax.grad(lambda *a: flash2.flash_attention2(
+                    *a, kb, seed, n, rate, False
+                ).astype(jnp.float32).sum(), argnums=(0, 1, 2))(q, k, v)
+                return sum(x.astype(jnp.float32).sum() for x in gr)
+
+            def xla(q, k, v, kb=kb, s_=s_):
+                t = lambda x: x.reshape(bt, s_, n, d).transpose(
+                    0, 2, 1, 3)
+                o = _xla_attention(t(q), t(k), t(v), kb[:, None, None, :],
+                                   0.0, None, True)
+                return o.astype(jnp.float32).sum()
+
+            @jax.jit
+            def gx(q, k, v):
+                gr = jax.grad(xla, argnums=(0, 1, 2))(q, k, v)
+                return sum(x.astype(jnp.float32).sum() for x in gr)
+
+            t_f2 = timed(f2, qs, ks, vs)
+            t_g2 = timed(g2, qs, ks, vs)
+            t_fx = timed(jax.jit(xla), qs, ks, vs)
+            t_gx = timed(gx, qs, ks, vs)
+            print(f"S={s_}: flash2 fwd {t_f2:7.2f} ({tf_fwd_s/t_f2*1e3:5.1f}"
+                  f" TF/s) fwd+bwd {t_g2:7.2f} ({tf_bwd_s/t_g2*1e3:5.1f})"
+                  f" | XLA fwd {t_fx:7.2f} fwd+bwd {t_gx:7.2f}")
+        return
 
     if args.sweep:
         for bq in (256, 512, 1024):

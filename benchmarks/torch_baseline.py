@@ -7,7 +7,12 @@ reference's batch size.  This machine has no CUDA torch, so the baseline is
 CPU; BASELINE.md's north star (>=5x samples/sec/chip) is measured against
 this number.
 
-Writes benchmarks/torch_baseline.json consumed by bench.py.
+Writes benchmarks/torch_baseline.json consumed by bench.py.  BEST-OF-RUNS
+policy: if the json already records a FASTER baseline, it is kept (with
+this run appended under "history") -- the host's CPU throughput varies
+run to run (0.1067 samples/s in round 2 vs 0.031 on the same nominal
+1-core host in round 3), and dividing by a slow-day baseline would
+inflate the reported speedup.  vs_baseline is therefore a lower bound.
 
 NOTE: this is a re-implementation of the reference's compute graph for
 timing purposes (we do not import reference code); see SURVEY.md section 3.2
@@ -136,6 +141,19 @@ def main():
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "torch_baseline.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("samples_per_sec", 0) > out["samples_per_sec"]:
+            # keep the faster recorded baseline (see module docstring)
+            hist = prev.get("history", [])
+            hist.append({k: out[k] for k in ("samples_per_sec", "step_ms")})
+            prev["history"] = hist
+            out = prev
+        else:
+            out["history"] = prev.get("history", []) + [
+                {k: prev[k] for k in ("samples_per_sec", "step_ms")
+                 if k in prev}]
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -59,8 +59,12 @@ def test_predict_bounded_inflight_window(exp, monkeypatch):
                         lambda x: fetches.append(len(x)) or real_get(x))
     out = windowed.predict_split(split)
     np.testing.assert_allclose(base, out, atol=1e-6)
-    # 7 batches at window 3 -> fetches of 3, 3, 1; never more than the window
-    assert fetches == [3, 3, 1]
+    # 7 batches at window 3: each time the window fills, the oldest HALF
+    # (max(1, 3//2) = 1) is fetched so the dispatch queue never empties --
+    # batches 3..7 each trigger a 1-fetch (queue stays at 2), and the
+    # final drain takes the remaining 2.  In-flight never exceeds the
+    # window.
+    assert fetches == [1, 1, 1, 1, 1, 2]
 
 
 def test_predict_on_data_parallel_mesh(exp):

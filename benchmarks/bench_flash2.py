@@ -140,8 +140,7 @@ def main():
                 return sum(x.astype(jnp.float32).sum() for x in gr)
 
             def xla(q, k, v, kb=kb, s_=s_):
-                t = lambda x: x.reshape(bt, s_, n, d).transpose(
-                    0, 2, 1, 3)
+                t = lambda x: x.reshape(bt, s_, n, d)   # [B, S, N, D]
                 o = _xla_attention(t(q), t(k), t(v), kb[:, None, None, :],
                                    0.0, None, True)
                 return o.astype(jnp.float32).sum()

@@ -82,6 +82,17 @@ def _pick_block(s: int, pref: int) -> int:
     return b if s128 % b == 0 else 128
 
 
+def _blocks_for(s: int, bq_pref: int, bk_pref: int):
+    """(bq, bk) for sequence length s.  bk is capped at 512 past S=2048:
+    the split-backward dkv program holds three full-[Sq, gw] bands PLUS
+    [bq, hpg*bk] f32 tiles, and bk=1024 at S=4096 measured 18.45 MB
+    against the 16 MB scoped-VMEM limit.  Forward and backward call this
+    with the same s, so the dropout tile decomposition always matches."""
+    if s > 2048:
+        bk_pref = min(bk_pref, 512)
+    return _pick_block(s, bq_pref), _pick_block(s, bk_pref)
+
+
 def _tile_id(i, g, r, kb, n_groups, n_qb, n_kb):
     """Dropout tile id, shared by fwd / dq / dkv so masks regenerate
     bit-identical: one tile = one (batch, head-group, q-block, kv-block)
@@ -402,7 +413,7 @@ def _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret,
     gw = hpg * d
     n_groups = num_heads // hpg
     scale = 1.0 / math.sqrt(d)
-    bq, bk = _pick_block(s, _BQ), _pick_block(s, _BK)
+    bq, bk = _blocks_for(s, _BQ, _BK)
     qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
     grid = (b, n_groups, sq // bq)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -478,9 +489,9 @@ def _flash2_bwd(num_heads, dropout_rate, interpret, residuals, g):
         # the dropout tile id is (program, kv-iter)-indexed, so masks only
         # regenerate bit-identical when the backward uses the FORWARD's
         # block decomposition
-        bq, bk = _pick_block(s, _BQ), _pick_block(s, _BK)
+        bq, bk = _blocks_for(s, _BQ, _BK)
     else:
-        bq, bk = _pick_block(s, _BWD_BQ), _pick_block(s, _BWD_BK)
+        bq, bk = _blocks_for(s, _BWD_BQ, _BWD_BK)
     qp, kp, vp, bias, sq, sk = _padded(q, k, v, key_bias, bq, bk)
     # forward may have used different block sizes; lse's padded length is
     # round_up(s, fwd_bq) -- re-pad to this backward's sq

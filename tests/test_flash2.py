@@ -103,6 +103,38 @@ def test_flash2_no_fwd_rerun_under_save_attn():
         f"expected {want} pallas_calls (no rematted fwd re-run), got {n_calls}"
 
 
+@pytest.mark.parametrize("s,h,n,bq,bk", [
+    (40, 128, 1, 256, 1024),    # hpg=1 (d=128) through the fused backward
+    (300, 128, 2, 128, 128),    # multi q-block AND multi kv-block tiles
+])
+def test_flash2_gradients_blocked(s, h, n, bq, bk):
+    """Fused-backward grads across block decompositions: the per-tile
+    accumulation into dq_acc / dkb / dvb and the per-block lse/delta reads
+    must agree with XLA whatever the (bq, bk) split."""
+    from msa_tpu.ops import flash2
+    q, k, v, key_bias, mask = make_inputs(s=s, h=h, seed=7)
+
+    def loss_flash(q, k, v):
+        out = flash_attention2(q, k, v, key_bias, None, n, 0.0, True)
+        return jnp.sum(out ** 2 * mask[:, :, None])
+
+    def loss_ref(q, k, v):
+        out = ref_attention(q, k, v, key_bias, n)
+        return jnp.sum(out ** 2 * mask[:, :, None])
+
+    old = (flash2._BQ, flash2._BK, flash2._BWD_BQ, flash2._BWD_BK)
+    flash2._BQ = flash2._BWD_BQ = bq
+    flash2._BK = flash2._BWD_BK = bk
+    try:
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        flash2._BQ, flash2._BK, flash2._BWD_BQ, flash2._BWD_BK = old
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_flash2_split_bwd_matches_fused():
     """The split dq/dkv backward (the long-S fallback when the fused
     program's bands exceed scoped VMEM) must produce the same grads."""

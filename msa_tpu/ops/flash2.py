@@ -156,10 +156,40 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         l = l_cols[0] if hpg == 1 else jnp.concatenate(l_cols, -1)
         return acc, m, l
 
-    acc0 = jnp.zeros((bq, gw), jnp.float32)
-    m0 = jnp.full((bq, hpg), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, hpg), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    if num_kb == 1:
+        # Single kv block (the tuned S<=2048 shapes): plain softmax -- no
+        # online carries, no alpha rescale of acc, no maximum-with-m0.
+        # Saves ~hpg [bq,1] exps + a [bq,gw] f32 multiply + broadcasts per
+        # program on a VPU-bound kernel.
+        kb_ = _block_diag_rows(k_ref[0], hpg, d, bk, bk)
+        vb_ = _block_diag_rows(v_ref[0], hpg, d, bk, bk)
+        bias_b = _block_bias(bias_ref[0].astype(jnp.float32), hpg, bk, bk)
+        s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale \
+            + bias_b
+        p_parts, m_cols, l_cols = [], [], []
+        for h in range(hpg):
+            sh = s[:, h * bk:(h + 1) * bk]
+            mh = jnp.max(sh, axis=-1, keepdims=True)
+            ph = jnp.exp(sh - mh)
+            l_cols.append(jnp.sum(ph, axis=-1, keepdims=True))
+            m_cols.append(mh)
+            p_parts.append(ph)
+        p = p_parts[0] if hpg == 1 else jnp.concatenate(p_parts, axis=-1)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed_ref, _tile_id(i, g, r, 0, n_groups, n_qb, 1),
+                p.shape, dropout_rate)
+            p = jnp.where(keep, p, 0.0)
+        acc = jnp.dot(p.astype(vb_.dtype), vb_,
+                      preferred_element_type=jnp.float32)
+        m = m_cols[0] if hpg == 1 else jnp.concatenate(m_cols, -1)
+        l = l_cols[0] if hpg == 1 else jnp.concatenate(l_cols, -1)
+    else:
+        acc0 = jnp.zeros((bq, gw), jnp.float32)
+        m0 = jnp.full((bq, hpg), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, hpg), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l, 1e-30)
     inv_l = jnp.concatenate(
         [jnp.broadcast_to(1.0 / l_safe[:, h:h + 1], (bq, d))

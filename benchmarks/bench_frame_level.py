@@ -71,6 +71,11 @@ def main():
         "auto16": dict(remat_policy="auto", adam_mu_dtype="bfloat16"),
         "ctx16nu": dict(remat_policy="save_ctx", adam_mu_dtype="bfloat16",
                         adam_nu_dtype="bfloat16"),
+        "ctx16drop": dict(remat_policy="save_ctx+drop",
+                          adam_mu_dtype="bfloat16"),
+        "ctx16nudrop": dict(remat_policy="save_ctx+drop",
+                            adam_mu_dtype="bfloat16",
+                            adam_nu_dtype="bfloat16"),
         "ctx16noflash": dict(remat_policy="save_ctx",
                              adam_mu_dtype="bfloat16",
                              use_flash_attention="never"),

@@ -162,6 +162,11 @@ def main():
         time_train_variant("save_attn+mu16+nu16", remat_policy="save_attn",
                            adam_mu_dtype="bfloat16",
                            adam_nu_dtype="bfloat16")
+    if "attn16nudrop" in variants:
+        time_train_variant("save_attn+drop+mu16+nu16",
+                           remat_policy="save_attn+drop",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

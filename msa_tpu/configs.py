@@ -223,6 +223,9 @@ class TrainConfig:
     # Trainer._resolve_remat_policy: save_attn while its per-layer stash
     # fits the HBM budget (from device.memory_stats), then save_ctx, then
     # full (BENCH.md: B<=120 save_attn, B=128-160 save_ctx word-aligned).
+    # Any named policy takes a '+drop' suffix (e.g. 'save_ctx+drop',
+    # 'full+drop'): ALSO stash the bool dropout masks so the backward
+    # reads them instead of re-running the PRNG (models/bert.py).
     remat_policy: str = "auto"
     # dtype for Adam's first moment (mu): bfloat16 halves its HBM traffic in
     # the (bandwidth-bound) update with no observed training difference; use

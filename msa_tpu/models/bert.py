@@ -348,17 +348,26 @@ def bert_encoder(
         # NEVER re-runs its forward (measured ~90 ms/step of the frame-level
         # step before this).  The name simply never fires for the short
         # kernel / XLA paths.
+        # A '+drop' suffix on any named policy ALSO saves the bool dropout
+        # masks ('drop_mask'): the backward then reads ~1 byte/element
+        # instead of re-running the PRNG + bernoulli compare (measured
+        # ~18 ms/step of remat rng at the frame-level shape vs ~4 ms of
+        # stash traffic).
+        extra = ()
+        if remat_policy.endswith("+drop"):
+            remat_policy = remat_policy[:-len("+drop")]
+            extra = ("drop_mask",)
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx", "attn_lse", "narrow")
+                "attn_io", "attn_ctx", "attn_lse", "narrow", *extra)
         elif remat_policy == "save_attn":
             # Save only q/k/v/ctx: backward skips the attention kernel's
             # forward recompute and the QKV projections (~2/3 of
             # save_small's stash bytes), recomputes o-proj/LN/FFN.
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx", "attn_lse")
+                "attn_io", "attn_ctx", "attn_lse", *extra)
         elif remat_policy == "save_ctx":
             # Save ONLY the attention output: the QKV projections are
             # recomputed (3 matmuls/layer) and feed the attention kernel's
@@ -366,12 +375,12 @@ def bert_encoder(
             # never re-run.  1/4 of save_attn's stash -- the memory point
             # that fits B=128.
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_ctx", "attn_lse")
+                "attn_ctx", "attn_lse", *extra)
         elif remat_policy == "save_pack":
             # Same stash bytes as save_attn, packed as 2 buffers/layer
             # ([*, 3H] q|k|v + [*, H] ctx) instead of 4.
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_pack", "attn_ctx", "attn_lse")
+                "attn_pack", "attn_ctx", "attn_lse", *extra)
         elif remat_policy == "save_wide":
             # Save the narrow set AND the [*, 4H] FFN tensors; backward
             # recomputes only elementwise leftovers (LN stats, dropout
@@ -379,7 +388,11 @@ def bert_encoder(
             # here -- excluding gelu's input/output just makes jax save
             # gelu's equally-wide INTERNAL intermediates instead (verified).
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_io", "attn_ctx", "attn_lse", "narrow", "ffn_wide")
+                "attn_io", "attn_ctx", "attn_lse", "narrow", "ffn_wide",
+                *extra)
+        elif extra:
+            # 'full+drop': regenerate everything EXCEPT the masks.
+            policy = jax.checkpoint_policies.save_only_these_names(*extra)
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)

@@ -255,8 +255,17 @@ class Trainer:
         unit = tokens * bert.hidden_size * 2 * bert.num_hidden_layers
         unit /= max(self.mesh.devices.size, 1)
         budget = _remat_stash_budget(self.mesh.devices.flat[0])
+        # '+drop' also stashes the two bool hidden-dropout masks/layer
+        # (tokens x H x 1 byte x 2 = exactly one more bf16-tensor unit):
+        # the backward then reads them instead of re-running the PRNG.
+        # Measured round 3: flagship B=96 360.1 -> 347.4 ms, frame-level
+        # 790.5 -> 781.4 -- the fastest rung wherever it fits.
+        if 6 * unit < budget:   # q/k/v/ctx + layer input + masks
+            return "save_attn+drop"
         if 5 * unit < budget:   # q/k/v/ctx + scan-carried layer input
             return "save_attn"
+        if 3 * unit < budget:   # ctx + layer input + masks
+            return "save_ctx+drop"
         if 2 * unit < budget:   # ctx + layer input; B=128: 236 vs full's
             return "save_ctx"   # 214 samples/s (BENCH.md round 2)
         return "full"
@@ -414,8 +423,8 @@ class Trainer:
         if "RESOURCE_EXHAUSTED" not in str(err):
             return err
         policy = self._resolve_remat_policy()
-        ladder = ["save_wide", "save_small", "save_pack", "save_attn",
-                  "save_ctx", "full"]
+        ladder = ["save_wide", "save_small", "save_pack", "save_attn+drop",
+                  "save_attn", "save_ctx+drop", "save_ctx", "full"]
         later = ladder[ladder.index(policy) + 1:] if policy in ladder else ladder
         hint = (f"next remat_policy rung: {later[0]}" if later
                 else "already at remat_policy='full'")

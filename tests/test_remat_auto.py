@@ -17,19 +17,21 @@ def _trainer(batch, seq=40, pair=None, model="bert-large-uncased", dp=1):
 
 
 def test_auto_ladder_word_aligned():
-    # measured on 16 GB v5e (BENCH.md round 2)
-    assert _trainer(32)._resolve_remat_policy() == "save_attn"
-    assert _trainer(96)._resolve_remat_policy() == "save_attn"
+    # measured on 16 GB v5e (BENCH.md rounds 2-3); '+drop' also stashes
+    # the bool dropout masks (one more unit) and wins wherever it fits
+    assert _trainer(32)._resolve_remat_policy() == "save_attn+drop"
+    assert _trainer(96)._resolve_remat_policy() == "save_attn+drop"
+    # B=120: the 6th (mask) unit no longer fits the 6 GB budget
     assert _trainer(120)._resolve_remat_policy() == "save_attn"
-    assert _trainer(128)._resolve_remat_policy() == "save_ctx"
-    assert _trainer(160)._resolve_remat_policy() == "save_ctx"
+    assert _trainer(128)._resolve_remat_policy() == "save_ctx+drop"
+    assert _trainer(160)._resolve_remat_policy() == "save_ctx+drop"
     # absurdly large: only full recompute fits
     assert _trainer(4096)._resolve_remat_policy() == "full"
 
 
 def test_auto_ladder_scales_with_mesh():
     # sharded over 8 devices the same global batch stashes 1/8 per chip
-    assert _trainer(128, dp=8)._resolve_remat_policy() == "save_attn"
+    assert _trainer(128, dp=8)._resolve_remat_policy() == "save_attn+drop"
 
 
 class _FakeDevice:
@@ -59,7 +61,7 @@ def test_auto_ladder_sweeps_with_hbm(monkeypatch):
     import msa_tpu.training.trainer as trainer_mod
     # On a 32 GB chip B=160 (save_ctx on v5e) fits save_attn...
     monkeypatch.setattr(trainer_mod, "_remat_stash_budget", lambda d: 12e9)
-    assert _trainer(160)._resolve_remat_policy() == "save_attn"
+    assert _trainer(160)._resolve_remat_policy() == "save_attn+drop"
     # ...and on a small chip even B=32 falls off the ladder to full.
     monkeypatch.setattr(trainer_mod, "_remat_stash_budget", lambda d: 0.5e9)
     assert _trainer(32)._resolve_remat_policy() == "full"
@@ -67,7 +69,7 @@ def test_auto_ladder_sweeps_with_hbm(monkeypatch):
 
 def test_auto_ladder_frame_level():
     t = _trainer(16, seq=40, pair=984)
-    assert t._resolve_remat_policy() in ("save_ctx", "full")
+    assert t._resolve_remat_policy() in ("save_ctx+drop", "save_ctx", "full")
     # explicit override always wins
     t2 = _trainer(16, seq=40, pair=984)
     t2.config = dataclasses.replace(

@@ -19,7 +19,7 @@ from msa_tpu.models.mmbert import init_mmbert_params, mmbert_forward, mmbert_los
 from msa_tpu.ops import masking
 
 POLICIES = ["full", "dots", "save_small", "save_attn", "save_ctx",
-            "save_wide"]
+            "save_wide", "full+drop", "save_ctx+drop", "save_attn+drop"]
 
 
 def _loss_and_grad(remat, policy):

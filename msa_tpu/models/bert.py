@@ -243,6 +243,15 @@ def bert_encoder(
     # directly.  Only the short whole-sequence kernel has a packed form;
     # anywhere it would not dispatch (long S, TP head-parallel, XLA
     # fallback, CPU dropout) the policy silently degrades to save_attn.
+    # A '+drop' suffix on any named policy ALSO saves the bool dropout
+    # masks ('drop_mask'): the backward then reads ~1 byte/element instead
+    # of re-running the PRNG + bernoulli compare (measured: flagship B=96
+    # 360.1 -> 347.4 ms, frame-level 790.5 -> 781.4 -- BENCH.md round 3).
+    # Parsed HERE so the save_pack dispatch check below still matches.
+    save_drop = remat_policy.endswith("+drop")
+    if save_drop:
+        remat_policy = remat_policy[:-len("+drop")]
+
     pack_attn = False
     if remat_policy == "save_pack":
         from ..ops.attention import _SHORT_MAX_SEQ
@@ -348,15 +357,7 @@ def bert_encoder(
         # NEVER re-runs its forward (measured ~90 ms/step of the frame-level
         # step before this).  The name simply never fires for the short
         # kernel / XLA paths.
-        # A '+drop' suffix on any named policy ALSO saves the bool dropout
-        # masks ('drop_mask'): the backward then reads ~1 byte/element
-        # instead of re-running the PRNG + bernoulli compare (measured
-        # ~18 ms/step of remat rng at the frame-level shape vs ~4 ms of
-        # stash traffic).
-        extra = ()
-        if remat_policy.endswith("+drop"):
-            remat_policy = remat_policy[:-len("+drop")]
-            extra = ("drop_mask",)
+        extra = ("drop_mask",) if save_drop else ()
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":

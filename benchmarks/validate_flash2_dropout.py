@@ -32,7 +32,8 @@ d = h // n
 hpg = _heads_per_group(n, d)
 n_groups = n // hpg
 n_qb, n_kb = s // bq, s // bk
-rate = 0.3
+from msa_tpu.ops.short_attention import quantize_dropout_rate as _q
+rate = _q(0.3)  # snapped to 77/256 -- the kernel's 8-bit threshold path
 rng = np.random.default_rng(0)
 q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
 k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)

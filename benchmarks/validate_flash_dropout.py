@@ -11,7 +11,8 @@ from jax.experimental.pallas import tpu as pltpu
 from msa_tpu.ops.attention import _flash_attention, _keep_mask, _tile_id
 
 b, n, s, d = 2, 3, 256, 64   # 2 q-blocks x 2 k-blocks, multi batch/head
-rate = 0.3
+from msa_tpu.ops.short_attention import quantize_dropout_rate as _q
+rate = _q(0.3)  # snapped to 77/256 -- the kernel's 8-bit threshold path
 rng = np.random.default_rng(0)
 q = jnp.asarray(rng.standard_normal((b, n, s, d)), jnp.float32)
 k = jnp.asarray(rng.standard_normal((b, n, s, d)), jnp.float32)

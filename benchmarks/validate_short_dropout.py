@@ -11,7 +11,8 @@ from msa_tpu.ops.short_attention import _keep_mask, short_attention
 
 b, s, h, n = 4, 80, 256, 4   # d=64 -> 2-head lane groups
 d = h // n
-rate = 0.3
+from msa_tpu.ops.short_attention import quantize_dropout_rate as _q
+rate = _q(0.3)  # snapped to 77/256 -- the kernel's 8-bit threshold path
 rng = np.random.default_rng(0)
 q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
 k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)

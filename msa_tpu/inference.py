@@ -57,10 +57,14 @@ def calibrate_act_stats(config: ExperimentConfig, params, split,
 
         def prep(x):
             x = np.asarray(x[start:end])
-            pad = batch_size - (end - start)
-            if pad:
-                x = np.concatenate(
-                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            if len(x) < batch_size:
+                # Fill partial batches by REPEATING real rows, not zero
+                # padding: an all-zero row has an all-zero attention mask,
+                # and its degenerate uniform-softmax activations feed the
+                # absmax max-reduce and loosen the static scales (round-3
+                # ADVICE item 2).  max() over repeats is a no-op.
+                reps = -(-batch_size // len(x))
+                x = np.concatenate([x] * reps)[:batch_size]
             return x
 
         s = jax.device_get(stats_fn(

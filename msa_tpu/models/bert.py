@@ -247,10 +247,31 @@ def bert_encoder(
     # masks ('drop_mask'): the backward then reads ~1 byte/element instead
     # of re-running the PRNG + bernoulli compare (measured: flagship B=96
     # 360.1 -> 347.4 ms, frame-level 790.5 -> 781.4 -- BENCH.md round 3).
+    # A '+probs' suffix additionally saves the short-attention kernel's
+    # signed post-softmax probs ('attn_probs', emitted by the v2s entry):
+    # the attention backward then skips its softmax+dropout recompute
+    # entirely (ops/short_attention.py v2s section).  Where the short
+    # kernel does not dispatch (long S, TP head-parallel, XLA fallback)
+    # the name never fires and the base policy's behavior is unchanged.
     # Parsed HERE so the save_pack dispatch check below still matches.
-    save_drop = remat_policy.endswith("+drop")
-    if save_drop:
-        remat_policy = remat_policy[:-len("+drop")]
+    save_drop = save_probs = False
+    while True:
+        if remat_policy.endswith("+drop"):
+            save_drop, remat_policy = True, remat_policy[:-len("+drop")]
+        elif remat_policy.endswith("+probs"):
+            save_probs, remat_policy = True, remat_policy[:-len("+probs")]
+        else:
+            break
+    if (save_drop or save_probs) and remat and remat_policy not in (
+            "full", "save_small", "save_attn", "save_ctx", "save_pack",
+            "save_wide"):
+        # 'dots' (checkpoint_dots) and unknown bases cannot honor the extra
+        # saved names -- silently degrading would fake the requested rung
+        # (round-3 ADVICE item 3).
+        raise ValueError(
+            f"remat_policy suffix (+drop/+probs) does not compose with base "
+            f"{remat_policy!r}; use one of the save_* named policies or "
+            f"'full'")
 
     pack_attn = False
     if remat_policy == "save_pack":
@@ -296,7 +317,9 @@ def bert_encoder(
                     and cfg.attention_probs_dropout_prob > 0.0:
                 seed = jax.random.randint(k_attn, (1,), 0, 2**31 - 1,
                                           dtype=jnp.int32)
-                rate = float(cfg.attention_probs_dropout_prob)
+                from ..ops.short_attention import quantize_dropout_rate
+                rate = quantize_dropout_rate(
+                    float(cfg.attention_probs_dropout_prob))
             else:
                 seed, rate = None, 0.0
             ctx = checkpoint_name(short_attention_v2p(
@@ -315,6 +338,7 @@ def bert_encoder(
                 use_flash=use_flash,
                 on_tpu=on_tpu,
                 mesh=mesh,
+                stash_probs=save_probs,
             ), "attn_ctx")
         if collect_act_stats:
             stats["ctx"] = _absmax(ctx)
@@ -357,7 +381,11 @@ def bert_encoder(
         # NEVER re-runs its forward (measured ~90 ms/step of the frame-level
         # step before this).  The name simply never fires for the short
         # kernel / XLA paths.
-        extra = ("drop_mask",) if save_drop else ()
+        extra = ()
+        if save_drop:
+            extra += ("drop_mask",)
+        if save_probs:
+            extra += ("attn_probs",)
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "save_small":

@@ -102,13 +102,12 @@ def _keep_mask(seed_ref, tile_id: jnp.ndarray, shape, rate: float):
 
     Seeding with (base_seed, tile_id) makes the mask reproducible in the
     backward kernels -- the whole point: no [B,N,S,S] mask is ever stored.
+    Shared with the short/flash2 kernels (ops/short_attention.py): rates
+    quantized to t/256 take the 4-decisions-per-u32-draw fast path there.
     """
-    from jax.experimental.pallas import tpu as pltpu
+    from .short_attention import _keep_mask as _km
 
-    pltpu.prng_seed(seed_ref[0], tile_id)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-    return bits >= threshold  # P(keep) = 1 - rate
+    return _km(seed_ref, tile_id, shape, rate)
 
 
 def _tile_id(i, j, r, kb, n_heads, n_qb, n_kb):
@@ -470,6 +469,7 @@ def multi_head_attention(
     use_flash: str = "auto",
     on_tpu: bool = False,
     mesh=None,
+    stash_probs: bool = False,
 ) -> jnp.ndarray:
     """Split heads, attend, merge heads.  Returns [B, S, H].
 
@@ -509,30 +509,42 @@ def multi_head_attention(
         # v2 = block-diagonal head packing: 2x fewer MXU instructions per
         # program; measured 1.25->0.81 (joint) / 0.52->0.38 (text) ms/layer
         # fwd+bwd on v5e vs the per-head-loop v1 (BENCH.md round 2).
-        from .short_attention import short_attention_v2
+        # stash_probs ('+probs' remat suffix) swaps in the v2s entry whose
+        # backward consumes checkpoint-saved signed probs instead of
+        # recomputing softmax+dropout; identical forward math.
+        from .short_attention import short_attention_v2, short_attention_v2s
         key_bias = bias[:, 0, 0, :]
         if dropout_active:
             seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1,
                                       dtype=jnp.int32)
-            rate = float(dropout_rate)
+            # snap to t/256: the in-kernel mask then derives 4 keep
+            # decisions per u32 PRNG draw (short_attention._keep_mask)
+            from .short_attention import quantize_dropout_rate
+            rate = quantize_dropout_rate(float(dropout_rate))
         else:
             seed, rate = None, 0.0
         from ..parallel.mesh import MODEL_AXIS
         mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
         if mp > 1 and num_heads % mp == 0:
+            # '+probs' is not plumbed through the shard_map TP path (the
+            # stash would need per-shard residual naming); v2 recompute
+            # backward stays -- numerics identical either way.
             def local_short(qs, ks, vs, bs, s_):
                 return short_attention_v2(qs, ks, vs, bs, s_,
                                           num_heads // mp, rate, not on_tpu)
             return _head_parallel(local_short, q, k, v, key_bias, seed, mesh)
-        return short_attention_v2(q, k, v, key_bias, seed, num_heads, rate,
-                                  not on_tpu)
+        entry = short_attention_v2s if stash_probs else short_attention_v2
+        return entry(q, k, v, key_bias, seed, num_heads, rate, not on_tpu)
 
     if flash:
         key_bias = bias[:, 0, 0, :]  # [B, S]
         if dropout_active:
             seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1,
                                       dtype=jnp.int32)
-            rate = float(dropout_rate)
+            # snap to t/256: the in-kernel mask then derives 4 keep
+            # decisions per u32 PRNG draw (short_attention._keep_mask)
+            from .short_attention import quantize_dropout_rate
+            rate = quantize_dropout_rate(float(dropout_rate))
         else:
             seed, rate = None, 0.0
         # 512-blocks won the v5e sweep at every S>=1024 (BENCH.md round 2);

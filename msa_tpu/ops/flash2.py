@@ -482,6 +482,12 @@ def flash_attention2(q, k, v, key_bias, seed=None, num_heads=16,
     Returns ctx [B, S, H].  ``seed``: [1] int32 for in-kernel attention
     dropout (TPU only; tiles are (batch, head-group, q-block, kv-block), so
     masks differ from the head-split kernel's -- equally valid draws).
+
+    NOTE: ``key_bias`` is treated as NON-differentiable by this kernel path
+    (its cotangent is hard zeros -- correct for the mask-derived padding
+    bias it carries today).  A trainable additive bias routed through this
+    argument would silently receive zero gradient, unlike the XLA fallback;
+    use the fallback or extend the backward kernels first.
     """
     return _fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
                      interpret, with_lse=False)

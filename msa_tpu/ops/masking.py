@@ -49,3 +49,27 @@ def mask_tokens(
     replaced = jax.random.bernoulli(k_rep, replace_prob, input_ids.shape) & masked
     new_ids = jnp.where(replaced, mask_token_id, input_ids)
     return new_ids, labels
+
+
+def apply_mlm_masks(
+    input_ids: jnp.ndarray,
+    masked: jnp.ndarray,
+    replaced: jnp.ndarray,
+    mask_token_id: int = DEFAULT_MASK_ID,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic MLM masking from PRECOMPUTED boolean masks.
+
+    Parity hook (``Trainer.mlm_mask_injector``): the same host-generated
+    numpy masks drive this path AND a torch twin, closing the masked-path
+    hole in the full-fit parity proxy (jax PRNG draws are not reproducible
+    in torch; ref model_utils.py:6-39 semantics).  ``masked`` selects the
+    supervised positions (labels keep ``input_ids`` there, -100 elsewhere);
+    ``replaced & masked`` positions additionally become ``mask_token_id``.
+    The caller is responsible for excluding special tokens from ``masked``
+    (the PRNG path above does this internally).
+    """
+    masked = masked.astype(bool)
+    replaced = replaced.astype(bool) & masked
+    labels = jnp.where(masked, input_ids, IGNORE_INDEX)
+    new_ids = jnp.where(replaced, mask_token_id, input_ids)
+    return new_ids, labels

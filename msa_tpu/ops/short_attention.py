@@ -37,10 +37,54 @@ NEG_INF = -1e9
 MAX_SEQ = 512
 
 
+# Dropout-rate quantum for the 8-bit threshold path below: rates snapped
+# to t/256 let the kernel derive FOUR keep decisions per u32 PRNG draw.
+_DROP_QUANT = 256
+
+
+def quantize_dropout_rate(rate: float) -> float:
+    """Snap ``rate`` to the nearest t/256 (t integer) so the in-kernel
+    dropout threshold is an exact byte compare.
+
+    The in-kernel PRNG was measured as the dominant VPU cost of the
+    attention kernels (BENCH.md round 3: "~1 u32 draw per probs element");
+    slicing each u32 into 4 independent bytes cuts the draw count 4x, at a
+    rate granularity of 1/256 (0.1 -> 0.1016) -- immaterial for dropout.
+    The rescale 1/(1-rate) everywhere uses the SAME snapped rate, so the
+    expectation stays exactly unbiased.  Callers that skip this helper get
+    the original full-u32 threshold (bit-compatible with rounds 1-3).
+    """
+    if rate <= 0.0:
+        return 0.0
+    t = min(max(int(round(rate * _DROP_QUANT)), 1), _DROP_QUANT - 1)
+    return t / _DROP_QUANT
+
+
+def _byte_threshold(rate: float):
+    """The exact byte threshold for a t/256-quantized rate, else None."""
+    t = int(round(rate * _DROP_QUANT))
+    if 0 < t < _DROP_QUANT and rate == t / _DROP_QUANT:
+        return t
+    return None
+
+
 def _keep_mask(seed_ref, tile_id, shape, rate: float):
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(seed_ref[0], tile_id)
+    t = _byte_threshold(rate)
+    if t is not None and shape[0] % 4 == 0:
+        # 8-bit threshold slices: one u32 draw yields 4 keep decisions
+        # (keep iff byte >= t, P(keep) = 1 - t/256 = 1 - rate exactly for
+        # quantized rates).  Output row i reads byte (i // (rows/4)) of
+        # draw row (i % (rows/4)) -- fwd and bwd regenerate identically.
+        rows = shape[0] // 4
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, shape[1])),
+                             jnp.uint32)
+        b8 = jnp.concatenate(
+            [(bits >> (8 * sl)) & jnp.uint32(0xFF) for sl in range(4)],
+            axis=0)
+        return b8 >= jnp.uint32(t)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     return bits >= threshold  # P(keep) = 1 - rate
@@ -749,3 +793,189 @@ def _v2_bwd(num_heads, dropout_rate, interpret, residuals, g):
 
 
 short_attention_v2.defvjp(_v2_fwd, _v2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2s: the '+probs' remat rung -- stash SIGNED post-softmax probs
+# ---------------------------------------------------------------------------
+#
+# The v2 backward's floor is the in-VMEM softmax+dropout recompute (qk^T
+# dot, per-head max/exp/sum/div, PRNG + threshold compare -- BENCH.md
+# round 3 measured the bwd kernel VPU-bound at ~2x its pure-dot time).
+# This variant's forward ALSO emits the post-softmax probs with the
+# dropout decision folded into the SIGN (ps = keep ? p : -p, one tensor,
+# no separate mask): the backward then reads |ps| and sign(ps) and skips
+# the entire score/softmax/PRNG recompute.  The probs ride the remat
+# stash as a 'attn_probs'-named custom-vjp residual (tagged INSIDE the
+# vjp fwd -- the flash2 lesson, BENCH.md round 3) in the storage dtype:
+# [B, S, G*hpg*Sp] = num_heads * round_up(S,128) * 2 bytes per token at
+# bf16.  Positions where p rounds to +/-0 contribute 0 to every gradient
+# term, so the sign ambiguity of 0 is harmless; exact in the f32
+# interpret-mode tests.  Selected by the '+probs' remat-policy suffix
+# (models/bert.py).
+
+def _fwd_kernel_v2s(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_ref, *,
+                    num_heads: int, scale: float, dropout_rate: float,
+                    rows: int):
+    blk_idx = pl.program_id(0)
+    s, h = q_ref.shape[1], q_ref.shape[2]
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+
+    for rb in range(rows):
+        b_idx = blk_idx * rows + rb
+        bias_b = _block_bias(bias_ref[rb].astype(jnp.float32), hpg, s, sp)
+        for g in range(n_groups):
+            qg = q_ref[rb, :, pl.ds(g * gw, gw)]
+            kg = k_ref[rb, :, pl.ds(g * gw, gw)]
+            vg = v_ref[rb, :, pl.ds(g * gw, gw)]
+            kb = _block_diag_rows(kg, hpg, d, s, sp)
+            vb = _block_diag_rows(vg, hpg, d, s, sp)
+            sblk = jax.lax.dot_general(
+                qg, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias_b
+            p = _block_softmax(sblk, hpg, sp)
+            if dropout_rate > 0.0:
+                keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
+                                  dropout_rate)
+                ps = jnp.where(keep, p, -p)
+                pd = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+            else:
+                ps = pd = p
+            ctx = jnp.dot(pd.astype(vg.dtype), vb,
+                          preferred_element_type=jnp.float32)
+            o_ref[rb, :, pl.ds(g * gw, gw)] = ctx.astype(o_ref.dtype)
+            p_ref[rb, :, pl.ds(g * hpg * sp, hpg * sp)] = ps.astype(p_ref.dtype)
+
+
+def _bwd_kernel_v2s(q_ref, k_ref, v_ref, p_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, num_heads: int, scale: float,
+                    dropout_rate: float, rows: int):
+    """Backward from STASHED probs: no scores, no softmax, no PRNG."""
+    s, h = q_ref.shape[1], q_ref.shape[2]
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    gw = hpg * d
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+
+    for rb in range(rows):
+      for g in range(n_groups):
+        qg = q_ref[rb, :, pl.ds(g * gw, gw)]
+        kg = k_ref[rb, :, pl.ds(g * gw, gw)]
+        vg = v_ref[rb, :, pl.ds(g * gw, gw)]
+        dog = do_ref[rb, :, pl.ds(g * gw, gw)]
+        ps = p_ref[rb, :, pl.ds(g * hpg * sp, hpg * sp)].astype(jnp.float32)
+        kb = _block_diag_rows(kg, hpg, d, s, sp)
+        vb = _block_diag_rows(vg, hpg, d, s, sp)
+        p = jnp.abs(ps)
+        dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = ps > 0.0
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+            dpm = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pd, dpm = p, dp
+        ds_parts = []
+        for pi in range(hpg):
+            sl = slice(pi * sp, (pi + 1) * sp)
+            delta = jnp.sum(p[:, sl] * dpm[:, sl], axis=-1, keepdims=True)
+            ds_parts.append(p[:, sl] * (dpm[:, sl] - delta))
+        ds = (ds_parts[0] if hpg == 1
+              else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
+        dq = jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
+        dkb = jax.lax.dot_general(ds, qg, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvb = jax.lax.dot_general(pd.astype(dog.dtype), dog,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dq_ref[rb, :, pl.ds(g * gw, gw)] = dq.astype(dq_ref.dtype)
+        dk_ref[rb, :, pl.ds(g * gw, gw)] = _unblock_rows(
+            dkb * scale, hpg, d, s, sp, dk_ref.dtype)
+        dv_ref[rb, :, pl.ds(g * gw, gw)] = _unblock_rows(
+            dvb, hpg, d, s, sp, dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def short_attention_v2s(q, k, v, key_bias, seed=None, num_heads=16,
+                        dropout_rate=0.0, interpret=False):
+    """:func:`short_attention_v2` with a probs-stashing backward.
+
+    Identical forward math (same PRNG tiles -> same dropout masks as v2);
+    when differentiated, the forward additionally emits signed post-softmax
+    probs as a 'attn_probs' checkpoint-named residual and the backward
+    consumes them instead of recomputing softmax+dropout.  The primal
+    (non-differentiated) call runs the plain v2 kernel -- eval never pays
+    the probs HBM write.
+    """
+    return _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
+                        interpret)
+
+
+def _v2s_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
+                  interpret):
+    b, s, h = q.shape
+    d = h // num_heads
+    hpg = _heads_per_group(num_heads, d)
+    sp = _round_up(s, 128)
+    n_groups = num_heads // hpg
+    scale = 1.0 / math.sqrt(d)
+    rows = _rows_per_block(b, _V2_ROWS)
+    smem, row, brow = _specs(rows)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_v2s, num_heads=num_heads, scale=scale,
+                          dropout_rate=dropout_rate, rows=rows),
+        out_shape=(jax.ShapeDtypeStruct((b, s, h), q.dtype),
+                   jax.ShapeDtypeStruct((b, s, n_groups * hpg * sp), q.dtype)),
+        grid=(b // rows,),
+        in_specs=[smem, row(s, h), row(s, h), row(s, h), brow(s)],
+        out_specs=(row(s, h), row(s, n_groups * hpg * sp)),
+        interpret=interpret,
+    )(_seed_arg(seed), q, k, v,
+      key_bias.astype(jnp.float32)[:, None, :])
+
+
+def _v2s_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, probs = _v2s_fwd_call(q, k, v, key_bias, seed, num_heads,
+                               dropout_rate, interpret)
+    # Tag BOTH residuals INSIDE the vjp fwd (the flash2 lesson): the policy
+    # then saves the residual vars themselves and the backward never re-runs
+    # this kernel (launch count pinned in tests/test_short_attention.py).
+    out = checkpoint_name(out, "attn_ctx")
+    probs = checkpoint_name(probs, "attn_probs")
+    return out, (q, k, v, key_bias, seed, probs)
+
+
+def _v2s_bwd(num_heads, dropout_rate, interpret, residuals, g):
+    q, k, v, key_bias, seed, probs = residuals
+    b, s, h = q.shape
+    d = h // num_heads
+    scale = 1.0 / math.sqrt(d)
+    rows = _rows_per_block(b, _V2_BWD_ROWS)
+    smem, row, brow = _specs(rows)
+    pw = probs.shape[2]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2s, num_heads=num_heads, scale=scale,
+                          dropout_rate=dropout_rate, rows=rows),
+        out_shape=(jax.ShapeDtypeStruct((b, s, h), q.dtype),
+                   jax.ShapeDtypeStruct((b, s, h), k.dtype),
+                   jax.ShapeDtypeStruct((b, s, h), v.dtype)),
+        grid=(b // rows,),
+        in_specs=[row(s, h), row(s, h), row(s, h), row(s, pw), row(s, h)],
+        out_specs=(row(s, h), row(s, h), row(s, h)),
+        interpret=interpret,
+    )(q, k, v, probs, g)
+    dbias = jnp.zeros_like(key_bias)
+    dseed = (None if seed is None
+             else np.zeros(seed.shape, dtype=jax.dtypes.float0))
+    return dq, dk, dv, dbias, dseed
+
+
+short_attention_v2s.defvjp(_v2s_fwd, _v2s_bwd)

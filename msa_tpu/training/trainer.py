@@ -177,6 +177,13 @@ class Trainer:
         self.tx = None  # set in init_state
         self._train_step = None
         self._eval_step = None
+        # Parity hook: a callable (epoch, batch_index, batch) -> dict with
+        # "mlm_masked"/"mlm_replaced" [B, 3, L] bools; when set (BEFORE the
+        # first train step), the jitted step applies these precomputed MLM
+        # masks (ops/masking.py::apply_mlm_masks) instead of drawing from
+        # the on-device PRNG, so a torch twin can consume identical masks
+        # (tests/test_fit_parity.py's masked variant).
+        self.mlm_mask_injector = None
 
     def rng(self, seed: int) -> jax.Array:
         """Training PRNG key (rbg by default: far cheaper per-step on TPU
@@ -284,13 +291,19 @@ class Trainer:
         remat_policy = self._resolve_remat_policy()
         mesh = self.mesh
         seq_par = tc.sequence_parallel
+        inject_masks = self.mlm_mask_injector is not None
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                        base_rng: jax.Array):
             rng = jax.random.fold_in(base_rng, state.step)
             k_t, k_v, k_s, k_drop = jax.random.split(rng, 4)
             ids = batch["text_ids"]
-            if mlm_on:
+            if mlm_on and inject_masks:
+                m, r = batch["mlm_masked"], batch["mlm_replaced"]
+                t_ids, t_lab = masking.apply_mlm_masks(ids, m[:, 0], r[:, 0], mask_id)
+                tv_ids, tv_lab = masking.apply_mlm_masks(ids, m[:, 1], r[:, 1], mask_id)
+                ts_ids, ts_lab = masking.apply_mlm_masks(ids, m[:, 2], r[:, 2], mask_id)
+            elif mlm_on:
                 t_ids, t_lab = masking.mask_tokens(k_t, ids, mlm_prob, mask_id, special)
                 tv_ids, tv_lab = masking.mask_tokens(k_v, ids, mlm_prob, mask_id, special)
                 ts_ids, ts_lab = masking.mask_tokens(k_s, ids, mlm_prob, mask_id, special)
@@ -449,6 +462,9 @@ class Trainer:
         device_metrics: List[Dict[str, jnp.ndarray]] = []
         i = -1
         for i, batch in enumerate(batches):
+            if self.mlm_mask_injector is not None:
+                batch = dict(batch)
+                batch.update(self.mlm_mask_injector(epoch, i, batch))
             if profiling and i == tc.profile_start:
                 jax.profiler.start_trace(tc.profile_dir)
             with jax.profiler.StepTraceAnnotation("train", step_num=i):

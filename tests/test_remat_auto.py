@@ -76,3 +76,15 @@ def test_auto_ladder_frame_level():
         t2.config, train=dataclasses.replace(t2.config.train,
                                              remat_policy="save_attn"))
     assert t2._resolve_remat_policy() == "save_attn"
+
+
+def test_auto_ladder_long_frame_level():
+    """Lp=2048/4096 (round-3 VERDICT item 6): the stash arithmetic must
+    pick a fitting rung at long pair lengths, descending as tokens grow."""
+    assert _trainer(4, seq=40, pair=2048)._resolve_remat_policy() == \
+        "save_attn+drop"
+    assert _trainer(8, seq=40, pair=2048)._resolve_remat_policy() == \
+        "save_ctx+drop"
+    assert _trainer(4, seq=40, pair=4096)._resolve_remat_policy() == \
+        "save_ctx+drop"
+    assert _trainer(8, seq=40, pair=4096)._resolve_remat_policy() == "full"

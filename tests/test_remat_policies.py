@@ -110,3 +110,40 @@ def test_save_pack_degrades_to_save_attn_off_kernel():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+PROBS_POLICIES = ["save_attn+probs", "save_attn+drop+probs",
+                  "save_ctx+drop+probs", "full+probs"]
+
+
+@pytest.mark.parametrize("policy", PROBS_POLICIES)
+def test_probs_policy_matches_no_remat_on_kernel_path(policy):
+    """'+probs' (stash signed post-softmax probs; backward skips the
+    softmax recompute, ops/short_attention.py v2s) is numerics-identity
+    vs no-remat where the short kernel dispatches (interpret on CPU)."""
+    l_ref, g_ref = _loss_and_grad_flash(remat=False, policy="full")
+    l, g = _loss_and_grad_flash(remat=True, policy=policy)
+    assert l == pytest.approx(l_ref, abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_probs_policy_degrades_off_kernel():
+    """Where the short kernel cannot dispatch (XLA fallback path) the
+    'attn_probs' name never fires and '+probs' behaves as its base --
+    still numerics-identity."""
+    l_ref, g_ref = _loss_and_grad(remat=False, policy="full")
+    l, g = _loss_and_grad(remat=True, policy="save_attn+probs")
+    assert l == pytest.approx(l_ref, abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("policy", ["dots+drop", "auto+drop", "dots+probs"])
+def test_suffix_with_incompatible_base_raises(policy):
+    """+drop/+probs on a base that cannot honor the extra names must raise
+    instead of silently degrading (round-3 ADVICE item 3)."""
+    with pytest.raises(ValueError, match="does not compose"):
+        _loss_and_grad(remat=True, policy=policy)

@@ -157,3 +157,70 @@ def test_v3_backward_matches_v2_backward():
     for a, b in zip(g3, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_v2s_matches_v2_outputs_and_grads():
+    """v2s (probs-stashing backward) == v2 exactly in f32: the stash path
+    reads the same f32 probs the recompute path re-derives."""
+    from msa_tpu.ops.short_attention import short_attention_v2s
+
+    q, k, v, mask = make(s=40, h=128)
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    w = jnp.asarray(mask)[:, :, None]
+    n = 4
+
+    out_s = short_attention_v2s(q, k, v, key_bias, None, n, 0.0, True)
+    out_v = short_attention_v2(q, k, v, key_bias, None, n, 0.0, True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_v))
+
+    gs = jax.grad(lambda a, b, c: jnp.sum(
+        short_attention_v2s(a, b, c, key_bias, None, n, 0.0, True) ** 2 * w),
+        argnums=(0, 1, 2))(q, k, v)
+    gv = jax.grad(lambda a, b, c: jnp.sum(
+        short_attention_v2(a, b, c, key_bias, None, n, 0.0, True) ** 2 * w),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_v2s_fully_masked_row_is_finite():
+    from msa_tpu.ops.short_attention import short_attention_v2s
+
+    q, k, v, mask = make(s=16, h=32)
+    mask[2, :] = 0
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+
+    def loss(a, b, c):
+        return jnp.sum(short_attention_v2s(a, b, c, key_bias, None, 2,
+                                           0.0, True))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for x in g:
+        assert np.isfinite(np.asarray(x)).all()
+
+
+def test_v2s_no_fwd_rerun_under_probs_policy():
+    """Under save_attn+probs the backward must consume the stashed probs
+    residual and never re-run the forward kernel: exactly 2 pallas_calls
+    in the grad jaxpr (probs-emitting fwd + probs-consuming bwd)."""
+    import functools
+
+    from msa_tpu.ops.short_attention import short_attention_v2s
+
+    q, k, v, mask = make(s=40, h=128)
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "attn_io", "attn_ctx", "attn_probs")
+
+    @functools.partial(jax.checkpoint, policy=policy)
+    def block(q, k, v):
+        return short_attention_v2s(q, k, v, key_bias, None, 4, 0.0, True)
+
+    def loss(q, k, v):
+        return jnp.sum(block(q, k, v) ** 2)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    n_calls = str(jaxpr).count("pallas_call")
+    assert n_calls == 2, \
+        f"expected 2 pallas_calls (no rematted fwd re-run), got {n_calls}"

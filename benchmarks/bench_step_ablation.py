@@ -167,6 +167,18 @@ def main():
                            remat_policy="save_attn+drop",
                            adam_mu_dtype="bfloat16",
                            adam_nu_dtype="bfloat16")
+    if "attnprobs" in variants:
+        # '+probs': stash signed post-softmax probs; the short-attention
+        # backward skips its softmax+dropout recompute (round-4)
+        time_train_variant("save_attn+drop+probs+mu16+nu16",
+                           remat_policy="save_attn+drop+probs",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
+    if "ctxprobs" in variants:
+        time_train_variant("save_ctx+drop+probs+mu16+nu16",
+                           remat_policy="save_ctx+drop+probs",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
     if "full16nu" in variants:
         time_train_variant("remat_full+mu16+nu16", remat_policy="full",
                            adam_mu_dtype="bfloat16",

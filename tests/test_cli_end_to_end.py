@@ -122,3 +122,57 @@ def test_train_cli_ur_funny_synthetic(workdir, monkeypatch):
     ])
     assert len(result.history) == 1
     assert set(np.unique(result.best_preds)).issubset({0, 1})
+
+
+def test_preprocess_output_feeds_train_unchanged(workdir, vocab_file,
+                                                 monkeypatch):
+    """Round-3 VERDICT item 7 (real-data seam): a fake aligned-SDK dataset
+    run through the REAL preprocessing segment loop (prepare_segments +
+    save_pickle == cli/preprocess minus the mmsdk download/align) must feed
+    cli/train unchanged, down to the MISA report.  The day cmu_mosi.pkl is
+    reachable this is the exact runbook (ref pre_processing.py:121-138 ->
+    train.py:245-250)."""
+    from msa_tpu.data.preprocessing.cmu import prepare_segments, save_pickle
+
+    fields = {"label": "lbl", "text": "txt", "visual": "vis", "speech": "spc"}
+    words_pool = ["the", "movie", "was", "really", "great", "bad", "not",
+                  "good", "plot", "act", "film", "sp"]  # incl. pause token
+
+    rng = np.random.default_rng(11)
+    dataset = {f: {} for f in fields.values()}
+    vids = [f"train{i}" for i in range(8)] + ["valA", "valB", "testA", "testB"]
+    for vid in vids:
+        for seg_i in range(2):
+            seg = f"{vid}[{seg_i}]"
+            k = int(rng.integers(4, 9))
+            words = np.array([[w.encode()] for w in
+                              rng.choice(words_pool, size=k)], dtype=object)
+            dataset["txt"][seg] = {"features": words}
+            dataset["vis"][seg] = {"features": rng.standard_normal((k, 47))}
+            dataset["spc"][seg] = {"features": rng.standard_normal((k, 74))}
+            dataset["lbl"][seg] = {
+                "features": np.array([[float(rng.uniform(-3, 3))]])}
+
+    train, val, test = prepare_segments(
+        dataset, fields, [f"train{i}" for i in range(8)],
+        ["valA", "valB"], ["testA", "testB"])
+    assert len(train) == 16 and len(val) == 4 and len(test) == 4
+    pkl = str(workdir / "cmu_mosi_preprocessed.pkl")
+    save_pickle(train, val, test, pkl)
+
+    from msa_tpu.cli.train import main as train_main
+    monkeypatch.chdir(workdir)
+    result = train_main([
+        "--platform", "cpu", "--dataset", "mosi", "--num_labels", "1",
+        "--model", "tiny", "--data_pkl", pkl, "--vocab", vocab_file,
+        "--n_epochs", "1", "--train_batch_size", "8", "--val_batch_size", "4",
+        "--test_batch_size", "4", "--compute_dtype", "float32", "--dp", "1",
+        "--checkpoint_root", str(workdir / "ms3"),
+        "--numpy_root", str(workdir / "np3"),
+    ])
+    assert result.best_preds is not None and len(result.best_preds) == 4
+
+    from msa_tpu.metrics.scores import misa_report
+    report = misa_report(result.best_labels, result.best_preds)
+    for key in ("mae", "corr", "acc7", "acc2_posneg", "f1_posneg"):
+        assert key in report and np.isfinite(report[key]), key

@@ -79,6 +79,10 @@ def main():
         "ctx16noflash": dict(remat_policy="save_ctx",
                              adam_mu_dtype="bfloat16",
                              use_flash_attention="never"),
+        # '+probs' engages only the short kernel (the S=40 text pass here)
+        "ctx16nudropprobs": dict(remat_policy="save_ctx+drop+probs",
+                                 adam_mu_dtype="bfloat16",
+                                 adam_nu_dtype="bfloat16"),
     }
 
     results = {}

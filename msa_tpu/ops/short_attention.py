@@ -78,6 +78,11 @@ def _keep_mask(seed_ref, tile_id, shape, rate: float):
         # (keep iff byte >= t, P(keep) = 1 - t/256 = 1 - rate exactly for
         # quantized rates).  Output row i reads byte (i // (rows/4)) of
         # draw row (i % (rows/4)) -- fwd and bwd regenerate identically.
+        # Cross-kernel determinism of the draw verified on v5e: the same
+        # (seed, tile_id) produced bit-identical masks in the v2 forward,
+        # the v2s forward, and a standalone dump kernel, including at
+        # sublane-unaligned draw shapes like (20, 256) and under an
+        # 8-row-padded draw (bits are indexed logically, not by layout).
         rows = shape[0] // 4
         bits = pltpu.bitcast(pltpu.prng_random_bits((rows, shape[1])),
                              jnp.uint32)

@@ -83,6 +83,11 @@ def main():
         "ctx16nudropprobs": dict(remat_policy="save_ctx+drop+probs",
                                  adam_mu_dtype="bfloat16",
                                  adam_nu_dtype="bfloat16"),
+        # scan_unroll=0: python-loop layers -> per-layer residual buffers,
+        # no scan-stash dynamic_update_slice/squeeze copies at all
+        "ctx16nudropnoscan": dict(remat_policy="save_ctx+drop",
+                                  adam_mu_dtype="bfloat16",
+                                  adam_nu_dtype="bfloat16", scan_unroll=0),
     }
 
     results = {}

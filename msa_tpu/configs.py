@@ -225,7 +225,12 @@ class TrainConfig:
     # full (BENCH.md: B<=120 save_attn, B=128-160 save_ctx word-aligned).
     # Any named policy takes a '+drop' suffix (e.g. 'save_ctx+drop',
     # 'full+drop'): ALSO stash the bool dropout masks so the backward
-    # reads them instead of re-running the PRNG (models/bert.py).
+    # reads them instead of re-running the PRNG (models/bert.py), and/or a
+    # '+probs' suffix: stash the short-attention kernel's signed
+    # post-softmax probs so its backward skips the whole softmax+dropout
+    # recompute (ops/short_attention.py v2s; no-op where that kernel does
+    # not dispatch).  Suffixes compose ('save_attn+drop+probs'); pairing
+    # one with a base that cannot honor it ('dots', 'auto') raises.
     remat_policy: str = "auto"
     # dtype for Adam's first moment (mu): bfloat16 halves its HBM traffic in
     # the (bandwidth-bound) update with no observed training difference; use

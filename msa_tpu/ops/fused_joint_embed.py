@@ -76,6 +76,14 @@ def _ref_forward(text_emb, feats, w, b, scale, bias, eps):
     return y.astype(dtype)
 
 
+# Per-program VMEM ceiling for the whole-[L+Lp, H] block: measured scoped
+# usage on v5e is ~6.5 KB/row at H=1024 (S=2048 compiles at ~13 MB; S=4096
+# wants 26.3 MB against the 16 MB limit).  Past this the XLA reference
+# path runs instead -- at those lengths the joint embed is a sliver of the
+# step and XLA's fusion is fine.
+_MAX_FUSED_ROWS = 2048
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12,
                       interpret=False):
@@ -84,11 +92,17 @@ def fused_joint_embed(text_emb, feats, w, b, scale, bias, eps=1e-12,
     ``interpret=True`` runs the Pallas kernel in interpret mode (CPU
     testing); resolve on the host, never sniffed at trace time.
     """
+    if text_emb.shape[1] + feats.shape[1] > _MAX_FUSED_ROWS:
+        return _ref_forward(text_emb, feats, w, b, scale, bias, eps)
     return _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret)
 
 
 def _fwd(text_emb, feats, w, b, scale, bias, eps, interpret):
-    out = _fused_forward(text_emb, feats, w, b, scale, bias, eps, interpret)
+    if text_emb.shape[1] + feats.shape[1] > _MAX_FUSED_ROWS:
+        out = _ref_forward(text_emb, feats, w, b, scale, bias, eps)
+    else:
+        out = _fused_forward(text_emb, feats, w, b, scale, bias, eps,
+                             interpret)
     return out, (text_emb, feats, w, b, scale, bias)
 
 

@@ -132,6 +132,11 @@ def run_scenario(proc, n: int, rate: float, rng) -> dict:
 
 
 def main():
+    # The driver must NOT hold the TPU -- only the serve subprocess may (one
+    # TPU client at a time on this host).  Checkpoint creation runs on CPU.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/msa_serve_latency")
     p.add_argument("--quantize", default=None,

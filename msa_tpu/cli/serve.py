@@ -55,9 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSONL requests file (same schema as serving input) "
                         "used to calibrate int8_static activation scales")
     p.add_argument("--max_wait", type=float, default=0.2,
-                   help="flush a partial batch after this many seconds of "
-                        "idle input (piped/streaming mode; 0 disables the "
-                        "timer and flushes only on full batch or EOF)")
+                   help="flush a partial batch once its OLDEST request is "
+                        "this many seconds old (piped/streaming mode; the "
+                        "per-request latency bound under light load; 0 "
+                        "disables the timer and flushes only on full batch "
+                        "or EOF)")
     p.add_argument("--input", default=None,
                    help="JSONL file (default: stdin)")
     p.add_argument("--output", default=None,
@@ -89,9 +91,17 @@ def featurize_request(req, tokenizer, L, Lp, vdim, sdim):
                      1, pair_seq_length=Lp)
 
 
-def _iter_lines(fin, max_wait):
-    """Yield decoded lines from ``fin``; yield ``None`` after ``max_wait``
-    seconds with no input (the caller's cue to flush a partial batch).
+def _iter_lines(fin, max_wait, timeout_fn=None):
+    """Yield decoded lines from ``fin``; yield ``None`` when the flush
+    timer fires (the caller's cue to flush a partial batch).
+
+    The select timeout comes from ``timeout_fn()`` each iteration (the
+    caller points it at the OLDEST pending request's deadline -- a plain
+    idle timer would be reset by every new arrival, so at arrival gaps
+    close to max_wait a request could wait the full batch-fill time:
+    measured p50 756 ms at 5 req/s vs the ~270 ms deadline bound,
+    BENCH.md round 4); ``max_wait`` alone is the fallback when no
+    timeout_fn is given.
 
     Timed mode reads the raw fd via select+os.read so a complete line is
     never stranded inside Python's buffered reader while select blocks on
@@ -115,7 +125,8 @@ def _iter_lines(fin, max_wait):
     import select
     buf = b""
     while True:
-        ready, _, _ = select.select([fd], [], [], max_wait)
+        wait = timeout_fn() if timeout_fn is not None else max_wait
+        ready, _, _ = select.select([fd], [], [], max(wait, 0.0))
         if not ready:
             yield None
             continue
@@ -183,10 +194,16 @@ def main(argv=None):
     fin = open(args.input) if args.input else sys.stdin
     fout = open(args.output, "w") if args.output else sys.stdout
 
+    import time as _time
+
     pending: list = []  # (id, FeaturizedSplit)
+    # monotonic timestamp of the OLDEST un-flushed request: --max_wait
+    # bounds ITS age (deadline flush), not the gap between arrivals
+    pending_since = [None]
 
     def flush():
         if not pending:
+            pending_since[0] = None
             return
         ids = np.concatenate([s.input_ids for _, s in pending])
         mask = np.concatenate([s.attention_mask for _, s in pending])
@@ -197,9 +214,15 @@ def main(argv=None):
             fout.write(json.dumps({"id": rid, "prediction": float(pred)}) + "\n")
         fout.flush()
         pending.clear()
+        pending_since[0] = None
 
-    for line in _iter_lines(fin, args.max_wait):
-        if line is None:  # input idle past --max_wait: answer what we have
+    def timeout_fn():
+        if pending_since[0] is None:
+            return args.max_wait
+        return pending_since[0] + args.max_wait - _time.monotonic()
+
+    for line in _iter_lines(fin, args.max_wait, timeout_fn):
+        if line is None:  # oldest pending request hit --max_wait: answer it
             flush()
             continue
         line = line.strip()
@@ -217,8 +240,12 @@ def main(argv=None):
             fout.write(json.dumps({"id": rid, "error": str(e)}) + "\n")
             fout.flush()
             continue
+        if pending_since[0] is None:
+            pending_since[0] = _time.monotonic()
         pending.append((req.get("id"), split))
-        if len(pending) >= args.batch_size:
+        if len(pending) >= args.batch_size or (
+                args.max_wait and args.max_wait > 0
+                and _time.monotonic() - pending_since[0] >= args.max_wait):
             flush()
     flush()
     if args.input:

@@ -54,12 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibration", default=None,
                    help="JSONL requests file (same schema as serving input) "
                         "used to calibrate int8_static activation scales")
-    p.add_argument("--max_wait", type=float, default=0.2,
+    p.add_argument("--max_wait", type=float, default=0.05,
                    help="flush a partial batch once its OLDEST request is "
                         "this many seconds old (piped/streaming mode; the "
                         "per-request latency bound under light load; 0 "
                         "disables the timer and flushes only on full batch "
-                        "or EOF)")
+                        "or EOF).  Default tuned from the round-4 held-pipe "
+                        "measurements (BENCH.md): 0.05 dominates 0.2 at "
+                        "every arrival rate tried -- p50 ~90 ms at 5-200 "
+                        "req/s with no throughput loss (partial flushes "
+                        "fill before the timer once batches are full)")
     p.add_argument("--input", default=None,
                    help="JSONL file (default: stdin)")
     p.add_argument("--output", default=None,

@@ -30,6 +30,9 @@ def main():
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--quantize", default="int8_static",
                    choices=["none", "int8", "int8_static"])
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="A/B the measured-losing fused q|k|v int8 variant "
+                        "(BENCH.md round 4)")
     p.add_argument("--top", type=int, default=40)
     args = p.parse_args()
 
@@ -47,7 +50,8 @@ def main():
                             vocab_size=exp.model.bert.vocab_size, seed=3)
     quant = None if args.quantize == "none" else args.quantize
     pred = Predictor(exp, params, batch_size=args.batch_size, quantize=quant,
-                     calibration=(split if quant == "int8_static" else None))
+                     calibration=(split if quant == "int8_static" else None),
+                     fuse_qkv=args.fuse_qkv)
 
     ids = jax.device_put(split.input_ids, pred._batch_sharding)
     mask = jax.device_put(split.attention_mask, pred._batch_sharding)
@@ -95,7 +99,11 @@ def main():
                 or "pallas" in o:
             return "attention_kernel"
         if "dot" in o or "dot" in typ.lower() or "conv" in o:
-            return "bf16_dots"
+            # NOTE: op names carry no dtype; under --quantize these encoder
+            # dots ARE the int8 projections (arithmetic check, BENCH.md:
+            # 11.6 TFLOP of projections in 44.5 ms = 261 TOP/s, impossible
+            # in bf16).  The label is the op class, not the precision.
+            return "proj_dots"
         if "gather" in o or "embed" in o or "take" in o:
             return "embeddings"
         if "fusion" in typ.lower():

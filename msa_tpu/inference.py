@@ -79,7 +79,8 @@ class Predictor:
 
     def __init__(self, config: ExperimentConfig, params,
                  batch_size: int = 8, mesh=None, quantize: str | None = None,
-                 inflight_batches: int = 64, calibration=None):
+                 inflight_batches: int = 64, calibration=None,
+                 fuse_qkv: bool = False):
         """``quantize='int8'`` runs the encoder's six big projections on the
         int8 MXU path (ops/quant.py): per-channel int8 weights quantized
         here once, dynamic per-token activation quant in the jit.  Serving
@@ -102,9 +103,21 @@ class Predictor:
         tc = config.train
         self.mesh = mesh if mesh is not None else make_mesh(
             tc.data_parallel, tc.model_parallel)
+        # fuse_qkv is opt-in and OFF by default: both fused variants
+        # measured LOSING at the B=96 serving shape (BENCH.md round-4 int8
+        # decomposition -- slicing q/k/v back out adds 3.5 ms of copies,
+        # and feeding the packed kernel directly makes the [H, 3H] int8 dot
+        # itself slower than 3x[H, H]).  Kept for A/B reproduction; it also
+        # shards wrongly under tensor parallelism (contiguous model-axis
+        # chunks of the 3H output mix q with k), hence the mesh guard.
+        if fuse_qkv:
+            from .parallel.mesh import MODEL_AXIS
+            if self.mesh.shape.get(MODEL_AXIS, 1) != 1:
+                raise ValueError("fuse_qkv requires a mesh without a "
+                                 "model axis (ops/quant.py docstring)")
         if quantize == "int8":
             from .ops.quant import quantize_bert_params
-            params = quantize_bert_params(params)
+            params = quantize_bert_params(params, fuse_qkv=fuse_qkv)
         elif quantize == "int8_static":
             if calibration is None:
                 raise ValueError(
@@ -113,7 +126,8 @@ class Predictor:
             from .ops.quant import quantize_bert_params
             stats = calibrate_act_stats(config, params, calibration,
                                         batch_size=batch_size)
-            params = quantize_bert_params(params, act_stats=stats)
+            params = quantize_bert_params(params, act_stats=stats,
+                                          fuse_qkv=fuse_qkv)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize!r}")
         self._multiprocess = jax.process_count() > 1

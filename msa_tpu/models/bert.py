@@ -289,6 +289,23 @@ def bert_encoder(
         if not pack_attn:
             remat_policy = "save_attn"
 
+    # Fused int8 q|k|v serving path (ops/quant.py fuse_qkv=True): when the
+    # packed short-attention kernel can dispatch, feed it the [*, 3H] fused
+    # matmul output DIRECTLY -- slicing q/k/v out of it materializes three
+    # [*, H] copies (measured +3.5 ms/batch at the B=96 serving shape).
+    # NOTE both fused variants measured LOSING vs split projections at that
+    # shape (BENCH.md round-4 int8 decomposition: the [H, 3H] int8 dot runs
+    # slower than 3x[H, H]); the path is kept opt-in for A/B reproduction
+    # (Predictor(fuse_qkv=True)).
+    int8_qkv_direct = False
+    if isinstance(params.get("layers"), dict) and "qkv" in params["layers"]:
+        from ..ops.attention import _SHORT_MAX_SEQ
+        from ..parallel.mesh import MODEL_AXIS
+        mp_ = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+        int8_qkv_direct = (
+            hidden.shape[1] <= _SHORT_MAX_SEQ and mp_ == 1
+            and (on_tpu or use_flash == "always") and deterministic)
+
     def _absmax(x):
         return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
@@ -325,6 +342,32 @@ def bert_encoder(
             ctx = checkpoint_name(short_attention_v2p(
                 qkv, attn_bias[:, 0, 0, :], seed,
                 cfg.num_attention_heads, rate, not on_tpu), "attn_ctx")
+        elif "qkv" in lp:
+            # Fused int8 q|k|v projection (ops/quant.py fuse_qkv=True,
+            # single-chip serving): ONE shared activation quantize, ONE
+            # [H, 3H] int8 MXU matmul and ONE dequant epilogue instead of
+            # three of each (BENCH.md round-4 int8 decomposition).
+            qkv = dense(h, lp["qkv"])
+            if int8_qkv_direct:
+                # packed kernel consumes the fused layout with no slices
+                from ..ops.short_attention import short_attention_v2p
+                ctx = checkpoint_name(short_attention_v2p(
+                    qkv, attn_bias[:, 0, 0, :], None,
+                    cfg.num_attention_heads, 0.0, not on_tpu), "attn_ctx")
+            else:
+                hs = h.shape[-1]
+                ctx = checkpoint_name(multi_head_attention(
+                    qkv[..., :hs], qkv[..., hs:2 * hs], qkv[..., 2 * hs:],
+                    attn_bias,
+                    num_heads=cfg.num_attention_heads,
+                    dropout_rate=cfg.attention_probs_dropout_prob,
+                    dropout_rng=k_attn,
+                    deterministic=deterministic,
+                    use_flash=use_flash,
+                    on_tpu=on_tpu,
+                    mesh=mesh,
+                    stash_probs=save_probs,
+                ), "attn_ctx")
         else:
             q = checkpoint_name(dense(h, lp["q"]), "attn_io")
             k = checkpoint_name(dense(h, lp["k"]), "attn_io")

@@ -57,17 +57,31 @@ def int8_dense(x: jnp.ndarray, qkernel: jnp.ndarray, qscale: jnp.ndarray,
     beyond the calibrated absmax saturate at +-127 (use a margin or enough
     calibration data; accuracy-gated in tests / Predictor).
     """
+    xi, row = quantize_act(x, ascale)
+    acc = jax.lax.dot_general(
+        xi, qkernel, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (row * qscale.astype(jnp.float32))
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_act(x: jnp.ndarray, ascale: jnp.ndarray | None = None):
+    """[..., K] activations -> (int8 [..., K], f32 row scale).
+
+    Factored out of ``int8_dense`` so consumers feeding SEVERAL quantized
+    matmuls from one activation tensor (q/k/v read the same post-LN stream
+    with the same static scale, ops/quant.py::_PROJ_STAT) quantize ONCE:
+    the standalone round/clip/convert pass over the residual stream is a
+    real HBM pass when the producer has other consumers (the residual add),
+    so sharing it matters (BENCH.md round-4 int8 Amdahl decomposition).
+    """
     x32 = x.astype(jnp.float32)
     if ascale is None:
         row = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0 + 1e-12
     else:
         row = ascale.astype(jnp.float32)  # scalar: no reduction pass
     xi = jnp.clip(jnp.round(x32 / row), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xi, qkernel, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (row * qscale.astype(jnp.float32))
-    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+    return xi, row
 
 
 # encoder projections worth the int8 path (the [*, H] x [H, *] heavies)
@@ -96,7 +110,8 @@ def act_scales_from_stats(act_stats, margin: float = 1.0):
     }
 
 
-def quantize_bert_params(params, act_stats=None, margin: float = 1.0):
+def quantize_bert_params(params, act_stats=None, margin: float = 1.0,
+                         fuse_qkv: bool = False):
     """Return a params pytree whose encoder projection kernels are int8.
 
     Each quantized dense becomes {"qkernel", "qscale", "bias"}; everything
@@ -107,6 +122,17 @@ def quantize_bert_params(params, act_stats=None, margin: float = 1.0):
     ``mmbert_forward(collect_act_stats=True)``) additionally attaches a
     static per-(layer, projection) activation scale "ascale" [L], switching
     ``int8_dense`` from dynamic per-token to static quantization.
+
+    ``fuse_qkv=True`` replaces the q/k/v entries with ONE "qkv" entry whose
+    kernel is the [L, H, 3H] concatenation (q|k|v on the output axis, the
+    same packing the training-side save_pack policy uses): the encoder then
+    runs one int8 matmul + one dequant epilogue instead of three.  Legal
+    because q/k/v share both the input tensor and the static scale
+    (_PROJ_STAT maps all three to "attn_in").  Single-chip serving only:
+    the concatenated output axis does NOT shard head-parallel under tensor
+    parallelism (contiguous model-axis chunks of 3H mix q with k), so the
+    caller must keep fuse_qkv=False when the mesh has a model axis > 1
+    (inference.Predictor does this).
     """
     ascales = (None if act_stats is None
                else act_scales_from_stats(act_stats, margin))
@@ -120,6 +146,19 @@ def quantize_bert_params(params, act_stats=None, margin: float = 1.0):
         if ascales is not None:
             entry["ascale"] = ascales[key]
         layers[key] = entry
+    if fuse_qkv:
+        q, k, v = layers.pop("q"), layers.pop("k"), layers.pop("v")
+        fused = {
+            "qkernel": jnp.concatenate(
+                [q["qkernel"], k["qkernel"], v["qkernel"]], axis=-1),
+            "qscale": jnp.concatenate(
+                [q["qscale"], k["qscale"], v["qscale"]], axis=-1),
+            "bias": jnp.concatenate(
+                [q["bias"], k["bias"], v["bias"]], axis=-1),
+        }
+        if ascales is not None:
+            fused["ascale"] = q["ascale"]  # attn_in: shared by q/k/v
+        layers["qkv"] = fused
     bert["layers"] = layers
     params["bert"] = bert
     return params

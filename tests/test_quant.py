@@ -125,6 +125,62 @@ def test_predictor_int8_static_agrees(exp):
     assert np.corrcoef(q, full)[0, 1] > 0.99
 
 
+def test_fused_qkv_matches_split(exp):
+    """fuse_qkv=True (one [H,3H] int8 matmul) == split q/k/v numerically.
+
+    int8 x int8 accumulates exactly in int32 and the fused entry reuses the
+    same per-column scales, so outputs agree to f32 roundoff."""
+    from msa_tpu.models.mmbert import mmbert_forward
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    stats = {k: jnp.full((exp.model.bert.num_hidden_layers,), 3.0,
+                         jnp.float32)
+             for k in ("attn_in", "ctx", "mlp_in", "ffn_act")}
+    split_p = quantize_bert_params(params, act_stats=stats)
+    fused_p = quantize_bert_params(params, act_stats=stats, fuse_qkv=True)
+    layers = fused_p["bert"]["layers"]
+    assert "qkv" in layers and "q" not in layers
+    H = exp.model.bert.hidden_size
+    assert layers["qkv"]["qkernel"].shape[-1] == 3 * H
+
+    data = synthetic_split(4, 12, 5, 7, vocab_size=120, seed=5)
+    ids = jnp.asarray(data.input_ids[:4])
+    mask = jnp.asarray(data.attention_mask[:4])
+    vis, spc = jnp.asarray(data.visual[:4]), jnp.asarray(data.speech[:4])
+    outs = [mmbert_forward(p, ids, mask, ids, ids, vis, spc, exp.model,
+                           deterministic=True, mlm_scores=False)["logits"]
+            for p in (split_p, fused_p)]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=1e-5, rtol=1e-5)
+
+    # both dynamic (no ascale) and static entries must ride the fused path
+    dyn = quantize_bert_params(params, fuse_qkv=True)
+    assert "ascale" not in dyn["bert"]["layers"]["qkv"]
+
+    # and the fused tree must remain shardable (replicated specs)
+    from msa_tpu.parallel.sharding import param_specs
+    from jax.sharding import PartitionSpec as P
+    specs = param_specs(fused_p)["bert"]["layers"]["qkv"]
+    assert specs["ascale"] == P()
+
+
+def test_predictor_fused_qkv_opt_in(exp):
+    """Predictor(fuse_qkv=True) rides the fused entry and agrees with the
+    split path; a model-axis mesh rejects it (wrong sharding)."""
+    from msa_tpu.parallel.mesh import make_mesh
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(8, 12, 5, 7, vocab_size=120, seed=4)
+    base = Predictor(exp, params, batch_size=4, quantize="int8_static",
+                     calibration=split).predict_split(split)
+    fused = Predictor(exp, params, batch_size=4, quantize="int8_static",
+                      calibration=split, fuse_qkv=True).predict_split(split)
+    np.testing.assert_allclose(fused, base, atol=1e-5)
+    with pytest.raises(ValueError):
+        Predictor(exp, params, batch_size=8, mesh=make_mesh(2, 4),
+                  quantize="int8", fuse_qkv=True)
+
+
 def test_predictor_int8_static_requires_calibration(exp):
     params = init_mmbert_params(jax.random.key(0), exp.model)
     with pytest.raises(ValueError):

@@ -11,6 +11,12 @@ to 128 so a short sequence still exercises MULTI-BLOCK tiles in both
 backward kernels.  Run on the real TPU (tests/ force CPU, no TPU PRNG).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/validate_flash2_dropout.py
+
+Expected scale on v5e (f32 inputs): fwd ~3e-3, dq/dk/dv ~4-7e-3 relative
+to grad scale.  The round-4 1/keep-into-do fold roughly doubled these
+diffs WITHOUT losing accuracy: scaling `do` changes the operand's bf16
+decomposition inside the default-precision f32 MXU dot, so kernel and
+oracle no longer round identically (cancellation loss; BENCH.md round 4).
 """
 import jax
 import jax.numpy as jnp

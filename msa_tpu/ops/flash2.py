@@ -219,6 +219,11 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
     delta = [jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
              for h in range(hpg)]                      # hpg x [bq, 1]
+    # Fold the dropout 1/keep into do ONCE per program ([bq, gw] mul):
+    # dp then arrives pre-scaled and the per-tile [bq, hpg*bk] mul
+    # disappears.  delta uses the UNscaled do above (softmax-vjp identity).
+    if dropout_rate > 0.0:
+        dog = (dog * (1.0 / (1.0 - dropout_rate))).astype(dog.dtype)
 
     def body(kb_idx, dq):
         start = kb_idx * bk
@@ -238,7 +243,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
             keep = _keep_mask(
                 seed_ref, _tile_id(i, g, r, kb_idx, n_groups, n_qb, num_kb),
                 dp.shape, dropout_rate)
-            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+            dp = jnp.where(keep, dp, 0.0)  # 1/keep pre-folded into do
         ds_parts = []
         for h in range(hpg):
             sl = slice(h * bk, (h + 1) * bk)
@@ -277,6 +282,12 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
         og = o_ref[0, pl.ds(start, bq), :]
         lse = lse_ref[0, 0, :, pl.ds(start, bq)].astype(jnp.float32)
         lse_col = [lse[h:h + 1, :].T for h in range(hpg)]
+        doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
+        # 1/keep folded into do ONCE ([bq, gw]) -- dp and the dv dot both
+        # arrive pre-scaled, deleting two per-tile [bq, hpg*bk] muls.
+        # delta (from doo above) uses the UNscaled do.
+        if dropout_rate > 0.0:
+            dog = (dog * (1.0 / (1.0 - dropout_rate))).astype(dog.dtype)
         s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale \
             + bias_b
@@ -292,12 +303,10 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
                 seed_ref, _tile_id(i, g, qb_idx, kb_idx, n_groups, num_qb,
                                    num_kb),
                 p.shape, dropout_rate)
-            inv = 1.0 / (1.0 - dropout_rate)
-            pd = jnp.where(keep, p, 0.0) * inv
-            dpm = jnp.where(keep, dp, 0.0) * inv
+            pd = jnp.where(keep, p, 0.0)
+            dpm = jnp.where(keep, dp, 0.0)
         else:
             pd, dpm = p, dp
-        doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
         ds_parts = []
         for h in range(hpg):
             deltah = jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1,
@@ -362,13 +371,18 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) \
                 * scale + bias_b
-            dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
             # delta_i = do_i . o_i per head (recomputed per kv block --
-            # hpg sums over [bq, d], cheap next to the exp)
+            # hpg sums over [bq, d], cheap next to the exp); UNscaled do
             doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
             delta_b = [jnp.sum(doo[:, h * d:(h + 1) * d], axis=-1,
                                keepdims=True) for h in range(hpg)]
+            # 1/keep folded into do ONCE ([bq, gw]) -- dp and the dv dot
+            # both arrive pre-scaled, deleting two per-tile [bq, hpg*bk]
+            # muls from the dropout path (BENCH.md round 4).
+            if dropout_rate > 0.0:
+                dog = (dog * inv).astype(dog.dtype)
+            dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
             lse_b = lse_ref[0, 0, :, pl.ds(start_q, bq)].astype(jnp.float32)
             lse_col = [lse_b[h:h + 1, :].T for h in range(hpg)]
             p_parts = [jnp.exp(s[:, h * bk:(h + 1) * bk] - lse_col[h])
@@ -380,8 +394,8 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                     seed_ref,
                     _tile_id(i, g, qb_idx, kb_idx, n_groups, num_qb, num_kb),
                     p.shape, dropout_rate)
-                pd = jnp.where(keep, p, 0.0) * inv
-                dpm = jnp.where(keep, dp, 0.0) * inv
+                pd = jnp.where(keep, p, 0.0)   # 1/keep pre-folded into do
+                dpm = jnp.where(keep, dp, 0.0)
             else:
                 pd, dpm = p, dp
             ds_parts = [

@@ -38,10 +38,13 @@ def main():
     variants = args.variants.split(",")
 
     from msa_tpu.ops import attention as attn
+    from msa_tpu.ops import flash2
     if args.bq is not None:
         attn._FLASH_BQ = args.bq
+        flash2._BQ = flash2._BWD_BQ = args.bq
     if args.bk is not None:
         attn._FLASH_BK = args.bk
+        flash2._BK = flash2._BWD_BK = args.bk
 
     from msa_tpu.configs import build_experiment
     from msa_tpu.data.dataset import MultimodalDataset

@@ -26,6 +26,10 @@ import jax.numpy as jnp
 from ..configs import BertConfig
 from ..ops.attention import multi_head_attention
 
+# Fused LN+quantize at the int8 serving path's mlp_in site (ops/ln_quant.py).
+# Module-level so bench harnesses can A/B the XLA composition (BENCH.md).
+_LN_QUANT_ENABLED = True
+
 Params = Dict[str, Any]
 
 
@@ -306,6 +310,21 @@ def bert_encoder(
             hidden.shape[1] <= _SHORT_MAX_SEQ and mp_ == 1
             and (on_tpu or use_flash == "always") and deterministic)
 
+    # Fused LN+quantize at the mlp_in site (ops/ln_quant.py): the post-
+    # attention LayerNorm's output feeds BOTH the residual add and wi's
+    # activation quantize, so XLA cannot fuse the quantize into it; the
+    # Pallas kernel emits the bf16 stream AND the int8 view in one HBM
+    # pass.  int8 serving only (never differentiated), single-chip mesh
+    # (the SP constraint and TP layouts bypass it), real TPU only (the
+    # XLA composition below is the fallback and the CPU-test oracle).
+    ln_quant_wi = False
+    if _LN_QUANT_ENABLED and isinstance(params.get("layers"), dict) \
+            and "qkernel" in params["layers"].get("wi", {}):
+        from ..parallel.mesh import MODEL_AXIS
+        mp_ = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+        ln_quant_wi = (deterministic and mp_ == 1 and on_tpu
+                       and not remat and not collect_act_stats)
+
     def _absmax(x):
         return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
@@ -387,16 +406,30 @@ def bert_encoder(
             stats["ctx"] = _absmax(ctx)
         attn_out = checkpoint_name(dense(ctx, lp["o"]), "narrow")
         attn_out = _dropout(k_post, attn_out, cfg.hidden_dropout_prob, deterministic)
-        h = checkpoint_name(
-            sp(layer_norm(h + attn_out, lp["attn_ln"], cfg.layer_norm_eps)),
-            "narrow")
+        if ln_quant_wi:
+            # one HBM pass emits the bf16 stream AND wi's int8 view
+            from ..ops.ln_quant import ln_quant
+            from ..ops.quant import int8_matmul_pre
+            asc = lp["wi"].get("ascale")
+            h, xi, rowscale = ln_quant(h, attn_out, lp["attn_ln"],
+                                       cfg.layer_norm_eps, ascale=asc)
+            up = int8_matmul_pre(
+                xi, asc if asc is not None else rowscale,
+                lp["wi"]["qkernel"], lp["wi"]["qscale"], lp["wi"]["bias"],
+                h.dtype)
+        else:
+            h = checkpoint_name(
+                sp(layer_norm(h + attn_out, lp["attn_ln"],
+                              cfg.layer_norm_eps)),
+                "narrow")
         if collect_act_stats:
             stats["mlp_in"] = _absmax(h)
         # --- mlp ---
         # 'ffn_wide' marks the [*, 4H] tensors: the recompute_ffn policy
         # saves everything EXCEPT these (they dominate activation memory;
         # recomputing just wi+gelu costs ~1/12 of the step's matmul FLOPs).
-        up = checkpoint_name(dense(h, lp["wi"]), "ffn_wide")
+        if not ln_quant_wi:
+            up = checkpoint_name(dense(h, lp["wi"]), "ffn_wide")
         # gelu in the compute dtype: in bf16 this halves FFN activation
         # traffic; in f32 it is exact (golden parity).
         up = checkpoint_name(gelu(up, cfg.exact_gelu), "ffn_wide")

@@ -65,6 +65,22 @@ def int8_dense(x: jnp.ndarray, qkernel: jnp.ndarray, qscale: jnp.ndarray,
     return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def int8_matmul_pre(xi: jnp.ndarray, row, qkernel: jnp.ndarray,
+                    qscale: jnp.ndarray, bias: jnp.ndarray, out_dtype):
+    """``int8_dense`` for a PRE-quantized activation.
+
+    ``xi``: int8 [..., K] (e.g. from ops/ln_quant.py's fused kernel);
+    ``row``: the matching scale -- a scalar (static ascale) or [..., 1]
+    f32 (dynamic per-row).  Same dequant epilogue as ``int8_dense``.
+    """
+    acc = jax.lax.dot_general(
+        xi, qkernel, (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (
+        jnp.asarray(row, jnp.float32) * qscale.astype(jnp.float32))
+    return (out + bias.astype(jnp.float32)).astype(out_dtype)
+
+
 def quantize_act(x: jnp.ndarray, ascale: jnp.ndarray | None = None):
     """[..., K] activations -> (int8 [..., K], f32 row scale).
 

@@ -181,6 +181,45 @@ def test_predictor_fused_qkv_opt_in(exp):
                   quantize="int8", fuse_qkv=True)
 
 
+def test_ln_quant_kernel_matches_composition():
+    """ops/ln_quant.py (fused residual+LN+int8 quantize) == the XLA
+    composition it replaces, in interpret mode, static AND dynamic."""
+    from msa_tpu.models.bert import layer_norm
+    from msa_tpu.ops.ln_quant import ln_quant
+    from msa_tpu.ops.quant import quantize_act
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+    p = {"scale": jnp.asarray(1.0 + 0.1 * rng.standard_normal(128),
+                              jnp.float32),
+         "bias": jnp.asarray(0.1 * rng.standard_normal(128), jnp.float32)}
+    eps = 1e-12
+    href = layer_norm(x + r, p, eps)
+
+    asc = jnp.float32(0.05)
+    xi_ref, _ = quantize_act(href, asc)
+    h, xi, row = ln_quant(x, r, p, eps, ascale=asc, interpret=True)
+    assert row is None
+    np.testing.assert_allclose(np.asarray(h), np.asarray(href),
+                               rtol=1e-6, atol=1e-6)
+    # boundary ties may flip on 1-ulp LN differences; demand near-total
+    # agreement and never more than one quantization level apart
+    mism = float(np.mean(np.asarray(xi) != np.asarray(xi_ref)))
+    assert mism < 0.005, mism
+    assert int(np.max(np.abs(np.asarray(xi, np.int32)
+                             - np.asarray(xi_ref, np.int32)))) <= 1
+
+    xi_ref2, row_ref = quantize_act(href, None)
+    h2, xi2, row2 = ln_quant(x, r, p, eps, ascale=None, interpret=True)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(href),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(row2), np.asarray(row_ref),
+                               rtol=1e-5)
+    mism2 = float(np.mean(np.asarray(xi2) != np.asarray(xi_ref2)))
+    assert mism2 < 0.005, mism2
+
+
 def test_predictor_int8_static_requires_calibration(exp):
     params = init_mmbert_params(jax.random.key(0), exp.model)
     with pytest.raises(ValueError):

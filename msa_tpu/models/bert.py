@@ -26,9 +26,16 @@ import jax.numpy as jnp
 from ..configs import BertConfig
 from ..ops.attention import multi_head_attention
 
-# Fused LN+quantize at the int8 serving path's mlp_in site (ops/ln_quant.py).
-# Module-level so bench harnesses can A/B the XLA composition (BENCH.md).
+# Fused LN+quantize at the int8 serving path's mlp_in and attn_in sites
+# (ops/ln_quant.py).  Module-level so bench harnesses can A/B the XLA
+# composition (BENCH.md).  _LN_QUANT_ATTN additionally fuses the END-of-layer
+# mlp_ln with the NEXT layer's q/k/v activation quantize (the int8 view rides
+# the scan carry, the shifted static scale rides the scan xs).
+# _LN_QUANT_INTERPRET forces the fused path on CPU in Pallas interpret mode
+# (tests only -- the production gate requires a real TPU).
 _LN_QUANT_ENABLED = True
+_LN_QUANT_ATTN = True
+_LN_QUANT_INTERPRET = False
 
 Params = Dict[str, Any]
 
@@ -322,14 +329,35 @@ def bert_encoder(
             and "qkernel" in params["layers"].get("wi", {}):
         from ..parallel.mesh import MODEL_AXIS
         mp_ = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
-        ln_quant_wi = (deterministic and mp_ == 1 and on_tpu
+        ln_quant_wi = (deterministic and mp_ == 1
+                       and (on_tpu or _LN_QUANT_INTERPRET)
                        and not remat and not collect_act_stats)
+
+    # Fused LN+quantize at the attn_in site: the end-of-layer mlp_ln's
+    # output feeds BOTH the residual stream and the NEXT layer's q/k/v
+    # activation quantize, so the fused kernel needs layer i+1's static
+    # scale inside iteration i -- the [L] ascale array rides the scan xs
+    # shifted by one (jnp.roll), and the int8 view rides the scan carry.
+    # The embedding output (layer 0's attn_in) keeps one standalone
+    # quantize pass before the scan (1/L of the old cost); the LAST
+    # iteration's int8 output is computed against scale[0] and discarded.
+    # Static scales + split q/k/v only (the fused-qkv entry measured
+    # losing and stays opt-in; dynamic per-row stays on the composition).
+    ln_quant_qkv = (
+        _LN_QUANT_ATTN and ln_quant_wi
+        and params["layers"].get("q", {}).get("ascale") is not None
+        and params["layers"]["wi"].get("ascale") is not None)
 
     def _absmax(x):
         return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
-    def one_layer(h, xs):
-        lp, lkey = xs
+    def one_layer(carry, xs):
+        if ln_quant_qkv:
+            h, xi_attn = carry
+            lp, lkey, asc_next = xs
+        else:
+            h = carry
+            lp, lkey = xs
         stats = {}
         if collect_act_stats:
             stats["attn_in"] = _absmax(h)
@@ -388,9 +416,19 @@ def bert_encoder(
                     stash_probs=save_probs,
                 ), "attn_ctx")
         else:
-            q = checkpoint_name(dense(h, lp["q"]), "attn_io")
-            k = checkpoint_name(dense(h, lp["k"]), "attn_io")
-            v = checkpoint_name(dense(h, lp["v"]), "attn_io")
+            if ln_quant_qkv:
+                # the carried int8 view was quantized with THIS layer's
+                # attn_in scale (lp["q"]["ascale"]) by the previous
+                # iteration's fused mlp_ln (or the pre-scan quantize)
+                from ..ops.quant import int8_matmul_pre
+                q, k, v = (int8_matmul_pre(
+                    xi_attn, lp[key]["ascale"], lp[key]["qkernel"],
+                    lp[key]["qscale"], lp[key]["bias"], h.dtype)
+                    for key in ("q", "k", "v"))
+            else:
+                q = checkpoint_name(dense(h, lp["q"]), "attn_io")
+                k = checkpoint_name(dense(h, lp["k"]), "attn_io")
+                v = checkpoint_name(dense(h, lp["v"]), "attn_io")
             ctx = checkpoint_name(multi_head_attention(
                 q, k, v, attn_bias,
                 num_heads=cfg.num_attention_heads,
@@ -412,7 +450,8 @@ def bert_encoder(
             from ..ops.quant import int8_matmul_pre
             asc = lp["wi"].get("ascale")
             h, xi, rowscale = ln_quant(h, attn_out, lp["attn_ln"],
-                                       cfg.layer_norm_eps, ascale=asc)
+                                       cfg.layer_norm_eps, ascale=asc,
+                                       interpret=_LN_QUANT_INTERPRET)
             up = int8_matmul_pre(
                 xi, asc if asc is not None else rowscale,
                 lp["wi"]["qkernel"], lp["wi"]["qscale"], lp["wi"]["bias"],
@@ -437,6 +476,14 @@ def bert_encoder(
             stats["ffn_act"] = _absmax(up)
         down = dense(up, lp["wo"])
         down = _dropout(k_mlp, down, cfg.hidden_dropout_prob, deterministic)
+        if ln_quant_qkv:
+            # one HBM pass emits the bf16 stream AND the next layer's
+            # q/k/v int8 view (quantized at the NEXT layer's attn_in scale)
+            from ..ops.ln_quant import ln_quant
+            h, xi_next, _ = ln_quant(h, down, lp["mlp_ln"],
+                                     cfg.layer_norm_eps, ascale=asc_next,
+                                     interpret=_LN_QUANT_INTERPRET)
+            return (h, xi_next), None
         h = sp(layer_norm(h + down, lp["mlp_ln"], cfg.layer_norm_eps))
         return h, (stats if collect_act_stats else None)
 
@@ -501,6 +548,23 @@ def bert_encoder(
         else:
             policy = None
         one_layer = jax.checkpoint(one_layer, policy=policy)
+    if ln_quant_qkv:
+        from ..ops.quant import quantize_act
+        asc_attn = jnp.asarray(params["layers"]["q"]["ascale"], jnp.float32)
+        asc_next_arr = jnp.roll(asc_attn, -1)
+        # layer 0's attn_in int8 view: the one standalone quantize pass left
+        xi0, _ = quantize_act(hidden, asc_attn[0])
+        if unroll == 0:
+            h_out, xi = hidden, xi0
+            for li in range(num_layers):
+                lp = jax.tree.map(lambda x: x[li], layers)
+                (h_out, xi), _ = one_layer(
+                    (h_out, xi), (lp, layer_keys[li], asc_next_arr[li]))
+            return h_out
+        (hidden, _), _ = jax.lax.scan(
+            one_layer, (hidden, xi0), (layers, layer_keys, asc_next_arr),
+            unroll=unroll)
+        return hidden
     if unroll == 0:
         # Python loop over static layer indices (no lax.scan): every
         # jax.checkpoint residual becomes its own buffer, so the backward

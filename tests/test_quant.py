@@ -220,6 +220,45 @@ def test_ln_quant_kernel_matches_composition():
     assert mism2 < 0.005, mism2
 
 
+def test_ln_quant_encoder_wiring_matches_composition(exp):
+    """The fused attn_in+mlp_in LN+quantize encoder path (int8_static,
+    forced on CPU in interpret mode via bert._LN_QUANT_INTERPRET) agrees
+    with the XLA composition it replaces.
+
+    Exercises the scan-carry wiring the kernel test above cannot: the
+    shifted [L] attn_in scale array, the int8 carry across iterations,
+    the pre-scan layer-0 quantize, and the q/k/v int8_matmul_pre dequant
+    against THIS layer's scale."""
+    import msa_tpu.models.bert as bert_mod
+    from msa_tpu.models.mmbert import mmbert_forward
+
+    params = init_mmbert_params(jax.random.key(0), exp.model)
+    split = synthetic_split(4, 12, 5, 7, vocab_size=120, seed=7)
+    ids = jnp.asarray(split.input_ids[:4])
+    mask = jnp.asarray(split.attention_mask[:4])
+    vis, spc = jnp.asarray(split.visual[:4]), jnp.asarray(split.speech[:4])
+    stats = mmbert_forward(params, ids, mask, ids, ids, vis, spc, exp.model,
+                           deterministic=True, mlm_scores=False,
+                           collect_act_stats=True)["act_stats"]
+    qp = quantize_bert_params(params, act_stats=stats)
+
+    def fwd():
+        return np.asarray(mmbert_forward(
+            qp, ids, mask, ids, ids, vis, spc, exp.model,
+            deterministic=True, mlm_scores=False)["logits"])
+
+    base = fwd()  # XLA composition (gate off on CPU)
+    assert bert_mod._LN_QUANT_INTERPRET is False
+    try:
+        bert_mod._LN_QUANT_INTERPRET = True
+        fused = fwd()
+    finally:
+        bert_mod._LN_QUANT_INTERPRET = False
+    # both paths quantize the same rounded stream; differences are at most
+    # quantization-boundary ties flipped by 1-ulp LN differences
+    np.testing.assert_allclose(fused.ravel(), base.ravel(), atol=0.02)
+
+
 def test_predictor_int8_static_requires_calibration(exp):
     params = init_mmbert_params(jax.random.key(0), exp.model)
     with pytest.raises(ValueError):

@@ -52,6 +52,19 @@ from .short_attention import (
 
 NEG_INF = -1e9
 
+# The softmax runs in the BASE-2 domain: scores are computed as
+# qk^T * (scale * log2(e)) + bias * log2(e) and exponentiated with exp2.
+# The VPU's native transcendental is exp2 -- XLA lowers exp(x) to
+# exp2(x * log2e), one extra [bq, hpg*bk] multiply per probs element per
+# kernel; folding the constant into the EXISTING f32 scale/bias multiplies
+# deletes it from the fwd softmax AND every backward recompute.  The
+# backward formulas are unchanged in natural units: with z = s*log2e,
+# dL/ds = log2e * ln2 * p*(dp-delta) = p*(dp-delta) (log2e*ln2 == 1), so
+# dq/dk still scale by the NATURAL `scale`.  p values are mathematically
+# identical (2^((s-m)*log2e) == e^(s-m)); lse is stored in log2 units,
+# produced and consumed only by this kernel pair.
+_LOG2E = math.log2(math.e)
+
 # Block sizes (module-level so bench harnesses can sweep them).  Defaults
 # from the v5e S=1024 joint-shape sweep (benchmarks/bench_flash2.py,
 # BENCH.md round 3): bq=256/bk=1024 beats 512/512 by ~1.5 ms/call fwd+bwd
@@ -114,6 +127,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     num_kb = sk // bk
     i, g, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_groups, n_qb = pl.num_programs(1), pl.num_programs(2)
+    scale2 = scale * _LOG2E            # base-2 softmax domain (see _LOG2E)
 
     def body(kb_idx, carry):
         acc, m, l = carry              # [bq, gw] f32, [bq, hpg], [bq, hpg]
@@ -124,9 +138,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
         bias_b = _block_bias(
             bias_ref[0, :, pl.ds(start, bk)].astype(jnp.float32),
-            hpg, bk, bk)               # [1, hpg*bk]
+            hpg, bk, bk)               # [1, hpg*bk], pre-scaled by log2e
         s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale \
+                                preferred_element_type=jnp.float32) * scale2 \
             + bias_b
         # per-head online-softmax update over this kv block
         p_parts, alpha_band = [], []
@@ -135,8 +149,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
             sh = s[:, h * bk:(h + 1) * bk]
             mh = m[:, h:h + 1]
             mh_new = jnp.maximum(mh, jnp.max(sh, axis=-1, keepdims=True))
-            ph = jnp.exp(sh - mh_new)
-            ah = jnp.exp(mh - mh_new)
+            ph = jnp.exp2(sh - mh_new)
+            ah = jnp.exp2(mh - mh_new)
             l_cols.append(l[:, h:h + 1] * ah
                           + jnp.sum(ph, axis=-1, keepdims=True))
             m_new_cols.append(mh_new)
@@ -165,13 +179,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         vb_ = _block_diag_rows(v_ref[0], hpg, d, bk, bk)
         bias_b = _block_bias(bias_ref[0].astype(jnp.float32), hpg, bk, bk)
         s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale \
+                                preferred_element_type=jnp.float32) * scale2 \
             + bias_b
         p_parts, m_cols, l_cols = [], [], []
         for h in range(hpg):
             sh = s[:, h * bk:(h + 1) * bk]
             mh = jnp.max(sh, axis=-1, keepdims=True)
-            ph = jnp.exp(sh - mh)
+            ph = jnp.exp2(sh - mh)
             l_cols.append(jnp.sum(ph, axis=-1, keepdims=True))
             m_cols.append(mh)
             p_parts.append(ph)
@@ -197,7 +211,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     if dropout_rate > 0.0:
         acc = acc / (1.0 - dropout_rate)
     o_ref[0] = (acc * inv_l).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe)).T.astype(jnp.float32)  # [hpg, bq]
+    # lse in LOG2 units (m is a base-2 score max): consumed only by the
+    # backward kernels below, which recompute p = exp2(s2 - lse)
+    lse_ref[0, 0] = (m + jnp.log2(l_safe)).T.astype(jnp.float32)  # [hpg, bq]
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
@@ -212,8 +228,9 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     num_kb = sk // bk
     i, g, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_groups, n_qb = pl.num_programs(1), pl.num_programs(2)
+    scale2 = scale * _LOG2E
 
-    lse = lse_ref[0, 0].astype(jnp.float32)            # [hpg, bq]
+    lse = lse_ref[0, 0].astype(jnp.float32)            # [hpg, bq], log2 units
     # one [1, bq] -> [bq, 1] relayout per head, hoisted out of the kv loop
     lse_col = [lse[h:h + 1, :].T for h in range(hpg)]
     doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
@@ -235,7 +252,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
             bias_ref[0, :, pl.ds(start, bk)].astype(jnp.float32),
             hpg, bk, bk)
         s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale \
+                                preferred_element_type=jnp.float32) * scale2 \
             + bias_b
         dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -247,7 +264,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
         ds_parts = []
         for h in range(hpg):
             sl = slice(h * bk, (h + 1) * bk)
-            ph = jnp.exp(s[:, sl] - lse_col[h])
+            ph = jnp.exp2(s[:, sl] - lse_col[h])
             ds_parts.append(ph * (dp[:, sl] - delta[h]))
         ds = (ds_parts[0] if hpg == 1
               else jnp.concatenate(ds_parts, axis=-1)).astype(qg.dtype)
@@ -269,6 +286,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
     num_qb = sq // bq
     i, g, kb_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_groups, num_kb = pl.num_programs(1), pl.num_programs(2)
+    scale2 = scale * _LOG2E
 
     kb_ = _block_diag_rows(kb_nat, hpg, d, bk, bk)
     vb_ = _block_diag_rows(vb_nat, hpg, d, bk, bk)
@@ -289,12 +307,12 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
         if dropout_rate > 0.0:
             dog = (dog * (1.0 / (1.0 - dropout_rate))).astype(dog.dtype)
         s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale \
+                                preferred_element_type=jnp.float32) * scale2 \
             + bias_b
         p_parts = []
         for h in range(hpg):
-            p_parts.append(jnp.exp(s[:, h * bk:(h + 1) * bk]
-                                   - lse_col[h]))
+            p_parts.append(jnp.exp2(s[:, h * bk:(h + 1) * bk]
+                                    - lse_col[h]))
         p = p_parts[0] if hpg == 1 else jnp.concatenate(p_parts, axis=-1)
         dp = jax.lax.dot_general(dog, vb_, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -348,6 +366,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     num_qb, num_kb = sq // bq, sk // bk
     i, g = pl.program_id(0), pl.program_id(1)
     n_groups = pl.num_programs(1)
+    scale2 = scale * _LOG2E
     inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     dq_acc[...] = jnp.zeros((sq, gw), jnp.float32)
@@ -370,7 +389,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             og = o_ref[0, pl.ds(start_q, bq), :]
             s = jax.lax.dot_general(qg, kb_, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) \
-                * scale + bias_b
+                * scale2 + bias_b
             # delta_i = do_i . o_i per head (recomputed per kv block --
             # hpg sums over [bq, d], cheap next to the exp); UNscaled do
             doo = dog.astype(jnp.float32) * og.astype(jnp.float32)
@@ -385,7 +404,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                                      preferred_element_type=jnp.float32)
             lse_b = lse_ref[0, 0, :, pl.ds(start_q, bq)].astype(jnp.float32)
             lse_col = [lse_b[h:h + 1, :].T for h in range(hpg)]
-            p_parts = [jnp.exp(s[:, h * bk:(h + 1) * bk] - lse_col[h])
+            p_parts = [jnp.exp2(s[:, h * bk:(h + 1) * bk] - lse_col[h])
                        for h in range(hpg)]
             p = (p_parts[0] if hpg == 1
                  else jnp.concatenate(p_parts, axis=-1))     # [bq, hpg*bk]
@@ -441,7 +460,11 @@ def _padded(q, k, v, key_bias, bq, bk):
     s = q.shape[1]
     sq = _round_up(s, bq)
     sk = _round_up(s, bk)
-    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk - s)),
+    # bias enters the kernels pre-scaled into the base-2 score domain
+    # (see _LOG2E); the NEG_INF padding constant is equally -inf-like in
+    # either domain.  fwd and bwd both pad through here, so they agree.
+    bias = jnp.pad(key_bias.astype(jnp.float32) * _LOG2E,
+                   ((0, 0), (0, sk - s)),
                    constant_values=NEG_INF)[:, None, :]   # [B, 1, Sk]
     return _pad_tokens(q, sq), _pad_tokens(k, sk), _pad_tokens(v, sk), \
         bias, sq, sk

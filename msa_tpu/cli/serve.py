@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "every arrival rate tried -- p50 ~90 ms at 5-200 "
                         "req/s with no throughput loss (partial flushes "
                         "fill before the timer once batches are full)")
+    p.add_argument("--drain_flush", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="flush a partial batch as soon as select proves the "
+                        "input fd is drained (no further request is pending) "
+                        "instead of waiting out --max_wait: puts light-load "
+                        "latency at the compute floor with zero throughput "
+                        "cost (under load the fd is never drained; the "
+                        "deadline stays as the fallback bound).  "
+                        "--no-drain_flush restores pure deadline batching")
     p.add_argument("--input", default=None,
                    help="JSONL file (default: stdin)")
     p.add_argument("--output", default=None,
@@ -95,7 +104,13 @@ def featurize_request(req, tokenizer, L, Lp, vdim, sdim):
                      1, pair_seq_length=Lp)
 
 
-def _iter_lines(fin, max_wait, timeout_fn=None):
+# Sentinel yielded by _iter_lines when the input fd is drained right after
+# complete lines arrived: the caller may flush its partial batch immediately
+# instead of waiting out the --max_wait deadline (light-load latency).
+_DRAINED = object()
+
+
+def _iter_lines(fin, max_wait, timeout_fn=None, drain_flush=False):
     """Yield decoded lines from ``fin``; yield ``None`` when the flush
     timer fires (the caller's cue to flush a partial batch).
 
@@ -106,6 +121,16 @@ def _iter_lines(fin, max_wait, timeout_fn=None):
     measured p50 756 ms at 5 req/s vs the ~270 ms deadline bound,
     BENCH.md round 4); ``max_wait`` alone is the fallback when no
     timeout_fn is given.
+
+    ``drain_flush=True`` additionally yields :data:`_DRAINED` whenever the
+    fd has no more data ready immediately after complete lines were
+    consumed: select has PROVEN no further input is pending, so a lone
+    request need not wait out the deadline (round-4 measurement: p50 was
+    timer-dominated at ~max_wait+compute at every light rate).  The server
+    is synchronous -- a flush blocks the read loop -- so "no batch in
+    flight" holds by construction whenever the generator runs; under load
+    the fd is never drained (arrivals queue during each flush) and
+    batching is unaffected.  The deadline stays as the fallback bound.
 
     Timed mode reads the raw fd via select+os.read so a complete line is
     never stranded inside Python's buffered reader while select blocks on
@@ -128,21 +153,35 @@ def _iter_lines(fin, max_wait, timeout_fn=None):
     import os
     import select
     buf = b""
+    check_drain = False
     while True:
-        wait = timeout_fn() if timeout_fn is not None else max_wait
-        ready, _, _ = select.select([fd], [], [], max(wait, 0.0))
-        if not ready:
-            yield None
-            continue
+        if check_drain:
+            # zero-timeout probe right after lines were consumed; only a
+            # NEGATIVE probe yields (no busy loop: the next iteration
+            # always reaches the blocking select below)
+            check_drain = False
+            ready, _, _ = select.select([fd], [], [], 0.0)
+            if not ready:
+                yield _DRAINED
+                continue
+        else:
+            wait = timeout_fn() if timeout_fn is not None else max_wait
+            ready, _, _ = select.select([fd], [], [], max(wait, 0.0))
+            if not ready:
+                yield None
+                continue
         chunk = os.read(fd, 1 << 16)
         if not chunk:
             if buf:
                 yield buf.decode("utf-8", "replace")
             return
         buf += chunk
+        got_line = False
         while b"\n" in buf:
             line, buf = buf.split(b"\n", 1)
             yield line.decode("utf-8", "replace")
+            got_line = True
+        check_drain = drain_flush and got_line
 
 
 def main(argv=None):
@@ -225,8 +264,12 @@ def main(argv=None):
             return args.max_wait
         return pending_since[0] + args.max_wait - _time.monotonic()
 
-    for line in _iter_lines(fin, args.max_wait, timeout_fn):
-        if line is None:  # oldest pending request hit --max_wait: answer it
+    for line in _iter_lines(fin, args.max_wait, timeout_fn,
+                            drain_flush=args.drain_flush):
+        if line is None or line is _DRAINED:
+            # deadline hit, or select proved no further input is pending
+            # (and no batch is in flight -- the flush below is synchronous):
+            # answer the partial batch now
             flush()
             continue
         line = line.strip()

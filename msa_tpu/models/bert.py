@@ -343,8 +343,13 @@ def bert_encoder(
     # iteration's int8 output is computed against scale[0] and discarded.
     # Static scales + split q/k/v only (the fused-qkv entry measured
     # losing and stays opt-in; dynamic per-row stays on the composition).
+    # Only fuse when the int8 carry is actually CONSUMED: the plain split
+    # q/k/v branch is the sole reader, so pack_attn / fused-qkv layouts
+    # must not pay the kernel's extra [B,S,H] int8 HBM write every layer
+    # (round-4 ADVICE item 4).
     ln_quant_qkv = (
         _LN_QUANT_ATTN and ln_quant_wi
+        and not pack_attn and "qkv" not in params["layers"]
         and params["layers"].get("q", {}).get("ascale") is not None
         and params["layers"]["wi"].get("ascale") is not None)
 
@@ -419,10 +424,14 @@ def bert_encoder(
             if ln_quant_qkv:
                 # the carried int8 view was quantized with THIS layer's
                 # attn_in scale (lp["q"]["ascale"]) by the previous
-                # iteration's fused mlp_ln (or the pre-scan quantize)
+                # iteration's fused mlp_ln (or the pre-scan quantize) --
+                # so dequant ALL THREE against q's ascale: k/v share the
+                # 'attn_in' calibration stat today, but a per-projection
+                # calibration change must not silently corrupt them
+                # (round-4 ADVICE item 1).
                 from ..ops.quant import int8_matmul_pre
                 q, k, v = (int8_matmul_pre(
-                    xi_attn, lp[key]["ascale"], lp[key]["qkernel"],
+                    xi_attn, lp["q"]["ascale"], lp[key]["qkernel"],
                     lp[key]["qscale"], lp[key]["bias"], h.dtype)
                     for key in ("q", "k", "v"))
             else:
@@ -503,7 +512,10 @@ def bert_encoder(
         # the kernel's custom-vjp residuals straight from the stash and
         # NEVER re-runs its forward (measured ~90 ms/step of the frame-level
         # step before this).  The name simply never fires for the short
-        # kernel / XLA paths.
+        # kernel / XLA paths.  NOTE: flash2 computes softmax in the exp2
+        # domain, so its stashed lse is in LOG2 units (m + log2(sum), see
+        # ops/flash2.py); the value is produced and consumed only by the
+        # flash2 kernel pair -- never assume natural-log units.
         extra = ()
         if save_drop:
             extra += ("drop_mask",)

@@ -128,7 +128,14 @@ def test_oom_error_is_actionable():
     err = trainer._annotate_oom(RuntimeError("RESOURCE_EXHAUSTED: TPU OOM"))
     msg = str(err)
     assert "remat_policy" in msg and "train_batch_size" in msg
-    assert "save_ctx" in msg or "full" in msg  # a concrete next rung
+    # The hint must name the rung AFTER the resolved policy (ladder-relative,
+    # not a hard-coded rung: the auto ladder's resolution moves as new rungs
+    # land — round-4 VERDICT "what's weak" #1).
+    ladder = ["save_wide", "save_small", "save_pack", "save_attn+drop",
+              "save_attn", "save_ctx+drop", "save_ctx", "full"]
+    policy = trainer._resolve_remat_policy()
+    expected_next = ladder[ladder.index(policy) + 1]
+    assert f"next remat_policy rung: {expected_next}" in msg
     other = RuntimeError("something else")
     assert trainer._annotate_oom(other) is other
 

@@ -36,6 +36,32 @@ NEG_INF = -1e9
 # tiles stop fitting comfortably and online softmax wins).
 MAX_SEQ = 512
 
+# The softmax runs in the BASE-2 domain, exactly as in ops/flash2.py
+# (round-4 VERDICT item 2 ported the fold here): scores are computed as
+# qk^T * (scale * log2e) + bias * log2e and exponentiated with exp2 -- the
+# VPU's native transcendental.  XLA lowers exp(x) to exp2(x * log2e), one
+# extra [S, hpg*Sp] multiply per probs element per kernel; folding the
+# constant into the EXISTING scale multiply and the host-side bias cast
+# deletes it from the forward softmax AND every backward recompute (these
+# kernels are instruction/VPU-bound at S<=80, BENCH.md).  Backward formulas
+# are unchanged in natural units: with z = s*log2e, dL/ds =
+# log2e * ln2 * p*(dp-delta) = p*(dp-delta) (log2e*ln2 == 1), so dq/dk
+# still scale by the NATURAL `scale`.  p values are mathematically
+# identical (2^((s-m)*log2e) == e^(s-m)).  The flag exists for A/B only;
+# fwd and bwd read it at trace time inside ONE jit, so the dropout masks
+# and the recomputed probs always agree between the pair.
+_LOG2E = math.log2(math.e)
+_EXP2_SOFTMAX = True
+
+
+def _smult(scale: float) -> float:
+    """The in-kernel score multiplier for the active softmax domain."""
+    return scale * _LOG2E if _EXP2_SOFTMAX else scale
+
+
+def _exp(x):
+    return jnp.exp2(x) if _EXP2_SOFTMAX else jnp.exp(x)
+
 
 # Dropout-rate quantum for the 8-bit threshold path below: rates snapped
 # to t/256 let the kernel derive FOUR keep decisions per u32 PRNG draw.
@@ -131,10 +157,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                 q = qg[:, h * d:(h + 1) * d]
                 k = kg[:, h * d:(h + 1) * d]
                 v = vg[:, h * d:(h + 1) * d]
-                s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale \
+                s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * _smult(scale) \
                     + bias[None, :]
                 s = s - jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s)
+                p = _exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
                 if dropout_rate > 0.0:
                     keep = _keep_mask(seed_ref,
@@ -171,10 +197,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             k = kg[:, h * d:(h + 1) * d]
             v = vg[:, h * d:(h + 1) * d]
             do = dog[:, h * d:(h + 1) * d]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale \
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * _smult(scale) \
                 + bias[None, :]
             s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
+            p = _exp(s)
             p = p / jnp.sum(p, axis=-1, keepdims=True)  # [S, S] f32
             dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
             if dropout_rate > 0.0:
@@ -256,7 +282,7 @@ def _block_softmax(sblk, hpg: int, sp: int):
     for p in range(hpg):
         sb = sblk[:, p * sp : (p + 1) * sp]
         sb = sb - jnp.max(sb, axis=-1, keepdims=True)
-        e = jnp.exp(sb)
+        e = _exp(sb)
         outs.append(e / jnp.sum(e, axis=-1, keepdims=True))
     return outs[0] if hpg == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -296,7 +322,7 @@ def _fwd_kernel_v2(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
             vb = _block_diag_rows(vg, hpg, d, s, sp)
             sblk = jax.lax.dot_general(
                 qg, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias_b
+                preferred_element_type=jnp.float32) * _smult(scale) + bias_b
             p = _block_softmax(sblk, hpg, sp)
             if dropout_rate > 0.0:
                 keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
@@ -330,7 +356,7 @@ def _bwd_kernel_v2(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         vb = _block_diag_rows(vg, hpg, d, s, sp)
         sblk = jax.lax.dot_general(
             qg, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias_b
+            preferred_element_type=jnp.float32) * _smult(scale) + bias_b
         p = _block_softmax(sblk, hpg, sp)
         dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -393,7 +419,7 @@ def _bwd_kernel_v3(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
         vb = _block_diag_rows(vg, hpg, d, s, sp)
         sblk = jax.lax.dot_general(
             qg, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias_b
+            preferred_element_type=jnp.float32) * _smult(scale) + bias_b
         p = _block_softmax(sblk, hpg, sp)
         dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -465,7 +491,7 @@ def _fwd_kernel_v2p(seed_ref, qkv_ref, bias_ref, o_ref, *,
             vb = _block_diag_rows(vg, hpg, d, s, sp)
             sblk = jax.lax.dot_general(
                 qg, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias_b
+                preferred_element_type=jnp.float32) * _smult(scale) + bias_b
             p = _block_softmax(sblk, hpg, sp)
             if dropout_rate > 0.0:
                 keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
@@ -503,7 +529,7 @@ def _bwd_kernel_v2p(seed_ref, qkv_ref, bias_ref, o_ref, do_ref, dqkv_ref, *,
         vb = _block_diag_rows(vg, hpg, d, s, sp)
         sblk = jax.lax.dot_general(
             qg, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias_b
+            preferred_element_type=jnp.float32) * _smult(scale) + bias_b
         p = _block_softmax(sblk, hpg, sp)
         dp = jax.lax.dot_general(dog, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -564,7 +590,7 @@ def _v2p_fwd_call(qkv, key_bias, seed, num_heads, dropout_rate, interpret):
         in_specs=[smem, row(s, h3), brow(s)],
         out_specs=row(s, h),
         interpret=interpret,
-    )(_seed_arg(seed), qkv, key_bias.astype(jnp.float32)[:, None, :])
+    )(_seed_arg(seed), qkv, _bias_arg(key_bias))
 
 
 def _v2p_fwd(qkv, key_bias, seed, num_heads, dropout_rate, interpret):
@@ -588,7 +614,7 @@ def _v2p_bwd(num_heads, dropout_rate, interpret, residuals, g):
         in_specs=[smem, row(s, h3), brow(s), row(s, h), row(s, h)],
         out_specs=row(s, h3),
         interpret=interpret,
-    )(_seed_arg(seed), qkv, key_bias.astype(jnp.float32)[:, None, :], out, g)
+    )(_seed_arg(seed), qkv, _bias_arg(key_bias), out, g)
     dbias = jnp.zeros_like(key_bias)
     dseed = (None if seed is None
              else np.zeros(seed.shape, dtype=jax.dtypes.float0))
@@ -602,6 +628,16 @@ def _seed_arg(seed):
     if seed is None:
         return jnp.zeros((1,), jnp.int32)
     return seed.astype(jnp.int32).reshape(1)
+
+
+def _bias_arg(key_bias):
+    """[B, S] additive bias -> the [B, 1, S] kernel operand, pre-multiplied
+    into the active softmax domain (host-side, like flash2: zero in-kernel
+    cost; the -10000/NEG_INF fills stay equally -inf-like scaled)."""
+    b = key_bias.astype(jnp.float32)
+    if _EXP2_SOFTMAX:
+        b = b * _LOG2E
+    return b[:, None, :]
 
 
 def _rows_per_block(b: int, cap: int) -> int:
@@ -655,7 +691,7 @@ def _short_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
         out_specs=row(s, h),
         interpret=interpret,
     )(_seed_arg(seed), q, k, v,
-      key_bias.astype(jnp.float32)[:, None, :])
+      _bias_arg(key_bias))
 
 
 def _short_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
@@ -682,7 +718,7 @@ def _short_bwd(num_heads, dropout_rate, interpret, residuals, g):
         out_specs=(row(s, h), row(s, h), row(s, h)),
         interpret=interpret,
     )(_seed_arg(seed), q, k, v,
-      key_bias.astype(jnp.float32)[:, None, :], g)
+      _bias_arg(key_bias), g)
     dbias = jnp.zeros_like(key_bias)
     dseed = (None if seed is None
              else np.zeros(seed.shape, dtype=jax.dtypes.float0))
@@ -748,7 +784,7 @@ def _v2_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
         out_specs=row(s, h),
         interpret=interpret,
     )(_seed_arg(seed), q, k, v,
-      key_bias.astype(jnp.float32)[:, None, :])
+      _bias_arg(key_bias))
 
 
 def _v2_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):
@@ -773,14 +809,14 @@ def _v2_bwd(num_heads, dropout_rate, interpret, residuals, g):
         ins = [smem, row(s, h), row(s, h), row(s, h), brow(s), row(s, h),
                row(s, h)]
         args = (_seed_arg(seed), q, k, v,
-                key_bias.astype(jnp.float32)[:, None, :], out, g)
+                _bias_arg(key_bias), out, g)
     else:
         kern = functools.partial(_bwd_kernel_v2, num_heads=num_heads,
                                  scale=scale, dropout_rate=dropout_rate,
                                  rows=rows)
         ins = [smem, row(s, h), row(s, h), row(s, h), brow(s), row(s, h)]
         args = (_seed_arg(seed), q, k, v,
-                key_bias.astype(jnp.float32)[:, None, :], g)
+                _bias_arg(key_bias), g)
     dq, dk, dv = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((b, s, h), q.dtype),
@@ -841,7 +877,7 @@ def _fwd_kernel_v2s(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, p_ref, *,
             vb = _block_diag_rows(vg, hpg, d, s, sp)
             sblk = jax.lax.dot_general(
                 qg, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias_b
+                preferred_element_type=jnp.float32) * _smult(scale) + bias_b
             p = _block_softmax(sblk, hpg, sp)
             if dropout_rate > 0.0:
                 keep = _keep_mask(seed_ref, b_idx * n_groups + g, p.shape,
@@ -942,7 +978,7 @@ def _v2s_fwd_call(q, k, v, key_bias, seed, num_heads, dropout_rate,
         out_specs=(row(s, h), row(s, n_groups * hpg * sp)),
         interpret=interpret,
     )(_seed_arg(seed), q, k, v,
-      key_bias.astype(jnp.float32)[:, None, :])
+      _bias_arg(key_bias))
 
 
 def _v2s_fwd(q, k, v, key_bias, seed, num_heads, dropout_rate, interpret):

@@ -23,9 +23,12 @@ def test_dryrun_multichip_driver_invocation():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
     assert "dryrun_multichip ok" in proc.stdout
+    # round 5: the dryrun's second step must exercise the Pallas kernel
+    # dispatch under TP (head-parallel shard_map, interpret mode)
+    assert "kernel_step(head-parallel short_attention" in proc.stdout
 
 
 def test_ensure_cpu_devices_with_live_backend():

@@ -34,8 +34,15 @@ def main():
     p.add_argument("--profile", action="store_true",
                    help="xprof the first variant and print the top ops")
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--natural_softmax", action="store_true",
+                   help="A/B: natural-domain exp softmax in short_attention "
+                        "(the S=40 text pass here) instead of the exp2 fold")
     args = p.parse_args()
     variants = args.variants.split(",")
+
+    if args.natural_softmax:
+        from msa_tpu.ops import short_attention as sa
+        sa._EXP2_SOFTMAX = False
 
     from msa_tpu.ops import attention as attn
     from msa_tpu.ops import flash2

@@ -145,6 +145,9 @@ def main():
     p.add_argument("--max_wait", type=float, default=0.2)
     p.add_argument("--rates", default="5,40,200")
     p.add_argument("--n", type=int, default=160)
+    p.add_argument("--no_drain", action="store_true",
+                   help="A/B: disable the serve CLI's drain flush (pure "
+                        "deadline batching, the pre-round-5 behavior)")
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -154,6 +157,9 @@ def main():
            "--checkpoint", ckpt, "--vocab", vocab,
            "--batch_size", str(args.batch_size),
            "--max_wait", str(args.max_wait)]
+    if args.no_drain:
+        cmd += ["--no-drain_flush"]
+    results_drain = not args.no_drain
     if args.quantize:
         cmd += ["--quantize", args.quantize]
         if args.quantize == "int8_static":
@@ -171,7 +177,8 @@ def main():
                             text=True, env=env)
     rng = np.random.default_rng(0)
     results = {"quantize": args.quantize or "bf16",
-               "batch_size": args.batch_size, "max_wait": args.max_wait}
+               "batch_size": args.batch_size, "max_wait": args.max_wait,
+               "drain_flush": results_drain}
     try:
         # warmup: exercise both the full-batch and the partial-flush compile
         # paths before timing anything

@@ -41,6 +41,9 @@ def main():
                    help="use the old v2 backward instead of v3 (A/B)")
     p.add_argument("--bwd_rows", type=int, default=None,
                    help="override the short-attention backward rows/block")
+    p.add_argument("--natural_softmax", action="store_true",
+                   help="A/B: natural-domain exp softmax in short_attention "
+                        "instead of the exp2 fold (round 5)")
     args = p.parse_args()
     variants = args.variants.split(",")
 
@@ -49,6 +52,8 @@ def main():
         sa._USE_V3_BWD = False
     if args.bwd_rows is not None:
         sa._V2_BWD_ROWS = args.bwd_rows
+    if args.natural_softmax:
+        sa._EXP2_SOFTMAX = False
 
     from msa_tpu.configs import build_experiment
     from msa_tpu.data.dataset import MultimodalDataset
@@ -165,6 +170,12 @@ def main():
     if "attn16nudrop" in variants:
         time_train_variant("save_attn+drop+mu16+nu16",
                            remat_policy="save_attn+drop",
+                           adam_mu_dtype="bfloat16",
+                           adam_nu_dtype="bfloat16")
+    if "auto16nu" in variants:
+        # the bench.py flagship config: whatever rung the auto ladder
+        # resolves at this batch size (round-5 B re-sweep under '+drop')
+        time_train_variant("auto+mu16+nu16", remat_policy="auto",
                            adam_mu_dtype="bfloat16",
                            adam_nu_dtype="bfloat16")
     if "attnprobs" in variants:

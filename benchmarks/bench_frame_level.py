@@ -98,6 +98,15 @@ def main():
         "ctx16nudropnoscan": dict(remat_policy="save_ctx+drop",
                                   adam_mu_dtype="bfloat16",
                                   adam_nu_dtype="bfloat16", scan_unroll=0),
+        # save_attn at frame level stashes q/k/v/ctx bands (4 x [2B, S, H]
+        # bf16/layer -- NOT S^2 probs), deleting the QKV share of the
+        # remat dots (10.7% of the S=2048 step under save_ctx+drop, xprof)
+        "attn16nudrop": dict(remat_policy="save_attn+drop",
+                             adam_mu_dtype="bfloat16",
+                             adam_nu_dtype="bfloat16"),
+        "attn16nudropnoscan": dict(remat_policy="save_attn+drop",
+                                   adam_mu_dtype="bfloat16",
+                                   adam_nu_dtype="bfloat16", scan_unroll=0),
     }
 
     results = {}

@@ -96,12 +96,17 @@ def _pick_block(s: int, pref: int) -> int:
 
 
 def _blocks_for(s: int, bq_pref: int, bk_pref: int):
-    """(bq, bk) for sequence length s.  bk is capped at 512 past S=2048:
-    the split-backward dkv program holds three full-[Sq, gw] bands PLUS
-    [bq, hpg*bk] f32 tiles, and bk=1024 at S=4096 measured 18.45 MB
-    against the 16 MB scoped-VMEM limit.  Forward and backward call this
-    with the same s, so the dropout tile decomposition always matches."""
-    if s > 2048:
+    """(bq, bk) for sequence length s.  bk is capped at 512 from S=2048 on:
+    at S=4096 bk=1024 measured 18.45 MB against the 16 MB scoped-VMEM limit
+    (the split-backward dkv program holds three full-[Sq, gw] bands PLUS
+    [bq, hpg*bk] f32 tiles), and at S=2048 the round-5 sweep measured
+    bq=256/bk=512 BEATING 256/1024 (1022.8 vs 1028.6 ms/step at the B=8
+    frame-level shape; 512/512 and 128/512 lose ~8%, 128/1024 and 256/2048
+    overflow scoped VMEM — BENCH.md round 5).  bk=1024 still wins at
+    S=1024, where it means a single kv block.  Forward and backward call
+    this with the same s, so the dropout tile decomposition always
+    matches."""
+    if s >= 2048:
         bk_pref = min(bk_pref, 512)
     return _pick_block(s, bq_pref), _pick_block(s, bk_pref)
 

@@ -77,38 +77,63 @@ def make_request(rid: int, rng) -> str:
                        "speech": speech})
 
 
-def run_scenario(proc, n: int, rate: float, rng) -> dict:
-    """Send n requests at ``rate``/s (uniform spacing; rate=0 -> one shot),
-    return latency stats."""
-    send_t = {}
-    recv_t = {}
-    done = threading.Event()
+class ResponseReader:
+    """ONE reader thread per server process, shared by every scenario.
 
-    def reader():
-        got = 0
-        while got < n:
-            line = proc.stdout.readline()
-            if not line:
-                break
+    A per-scenario reader used to race any still-running predecessor for
+    stdout lines: when the warmup's 60 s wait expired during the server's
+    first compile, the stale thread kept consuming (and, with overlapping
+    per-scenario ids, matching) later scenarios' responses — observed as
+    n=12 of 40 recorded latencies at rate 5.  Routing everything through
+    one thread keyed by globally unique ids removes the race; scenarios
+    take an id range from ``next_id``.
+    """
+
+    def __init__(self, proc):
+        self.proc = proc
+        self.recv_t = {}
+        self.event = threading.Event()  # set on every prediction line
+        self.next_id = 0
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def _run(self):
+        for line in self.proc.stdout:
             try:
                 obj = json.loads(line)
             except Exception:
                 continue
-            if "prediction" in obj and obj.get("id") in send_t:
-                recv_t[obj["id"]] = time.perf_counter()
-                got += 1
+            if "prediction" in obj and obj.get("id") is not None:
+                self.recv_t[obj["id"]] = time.perf_counter()
+                self.event.set()
             elif "error" in obj:
                 print("server error line:", line.strip(), file=sys.stderr)
-                got += 1
-        done.set()
 
-    t = threading.Thread(target=reader, daemon=True)
-    t.start()
+    def wait_for(self, ids, deadline_s):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            if all(i in self.recv_t for i in ids):
+                return True
+            self.event.clear()
+            # re-check after clear to close the set-before-clear window
+            if all(i in self.recv_t for i in ids):
+                return True
+            self.event.wait(timeout=min(1.0, end - time.monotonic()))
+        return all(i in self.recv_t for i in ids)
+
+
+def run_scenario(proc, reader: ResponseReader, n: int, rate: float, rng,
+                 deadline_s: float = None) -> dict:
+    """Send n requests at ``rate``/s (uniform spacing; rate=0 -> one shot),
+    return latency stats."""
+    base = reader.next_id
+    reader.next_id += n
+    ids = range(base, base + n)
+    send_t = {}
     gap = 1.0 / rate if rate > 0 else 0.0
     t0 = time.perf_counter()
-    for i in range(n):
+    for i in ids:
         if gap:
-            target = t0 + i * gap
+            target = t0 + (i - base) * gap
             now = time.perf_counter()
             if target > now:
                 time.sleep(target - now)
@@ -116,9 +141,9 @@ def run_scenario(proc, n: int, rate: float, rng) -> dict:
         send_t[i] = time.perf_counter()
         proc.stdin.write(line + "\n")
         proc.stdin.flush()
-    done.wait(timeout=max(60.0, n * (gap + 0.5)))
-    lat = np.array([recv_t[i] - send_t[i] for i in sorted(recv_t)
-                    if i in send_t])
+    reader.wait_for(ids, deadline_s or max(60.0, n * (gap + 0.5)))
+    recv_t = reader.recv_t
+    lat = np.array([recv_t[i] - send_t[i] for i in ids if i in recv_t])
     if len(lat) == 0:
         return {"n": 0}
     return {
@@ -127,7 +152,8 @@ def run_scenario(proc, n: int, rate: float, rng) -> dict:
         "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 1),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
         "mean_ms": round(float(lat.mean()) * 1e3, 1),
-        "throughput_rps": round(len(lat) / (max(recv_t.values()) - t0), 1),
+        "throughput_rps": round(
+            len(lat) / (max(recv_t[i] for i in ids if i in recv_t) - t0), 1),
     }
 
 
@@ -179,17 +205,26 @@ def main():
     results = {"quantize": args.quantize or "bf16",
                "batch_size": args.batch_size, "max_wait": args.max_wait,
                "drain_flush": results_drain}
+    reader = ResponseReader(proc)
     try:
         # warmup: exercise both the full-batch and the partial-flush compile
-        # paths before timing anything
-        warm = run_scenario(proc, args.batch_size * 2, 0.0, rng)
+        # paths before timing anything.  The first batch carries the jit
+        # compile (minutes on a cold server) -- wait it out, or every later
+        # scenario is skewed/starved.
+        warm = run_scenario(proc, reader, args.batch_size * 2, 0.0, rng,
+                            deadline_s=900.0)
         print("warmup:", warm, file=sys.stderr)
+        if warm.get("n") != args.batch_size * 2:
+            print("FATAL: warmup incomplete -- server still compiling or "
+                  "dead; aborting capture", file=sys.stderr)
+            sys.exit(2)
         time.sleep(args.max_wait * 2)
-        results["cold_single"] = run_scenario(proc, 1, 0.0, rng)
+        results["cold_single"] = run_scenario(proc, reader, 1, 0.0, rng)
         for rate in [float(r) for r in args.rates.split(",")]:
             time.sleep(args.max_wait * 2)
             n = args.n if rate >= 10 else max(16, int(rate * 8))
-            results[f"rate_{rate:g}rps"] = run_scenario(proc, n, rate, rng)
+            results[f"rate_{rate:g}rps"] = run_scenario(proc, reader, n,
+                                                        rate, rng)
             print(f"rate {rate:g}/s:", results[f"rate_{rate:g}rps"],
                   file=sys.stderr)
     finally:

@@ -37,12 +37,19 @@ def main():
     p.add_argument("--natural_softmax", action="store_true",
                    help="A/B: natural-domain exp softmax in short_attention "
                         "(the S=40 text pass here) instead of the exp2 fold")
+    p.add_argument("--f32_dropout", action="store_true",
+                   help="A/B: f32-uniform bernoulli at the XLA-level "
+                        "dropout sites instead of uint8 thresholds "
+                        "(round 5)")
     args = p.parse_args()
     variants = args.variants.split(",")
 
     if args.natural_softmax:
         from msa_tpu.ops import short_attention as sa
         sa._EXP2_SOFTMAX = False
+    if args.f32_dropout:
+        from msa_tpu.models import bert
+        bert._BITS_DROPOUT = False
 
     from msa_tpu.ops import attention as attn
     from msa_tpu.ops import flash2

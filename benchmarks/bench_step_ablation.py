@@ -44,6 +44,10 @@ def main():
     p.add_argument("--natural_softmax", action="store_true",
                    help="A/B: natural-domain exp softmax in short_attention "
                         "instead of the exp2 fold (round 5)")
+    p.add_argument("--f32_dropout", action="store_true",
+                   help="A/B: f32-uniform bernoulli at the XLA-level "
+                        "dropout sites instead of uint8 thresholds "
+                        "(round 5)")
     args = p.parse_args()
     variants = args.variants.split(",")
 
@@ -54,6 +58,9 @@ def main():
         sa._V2_BWD_ROWS = args.bwd_rows
     if args.natural_softmax:
         sa._EXP2_SOFTMAX = False
+    if args.f32_dropout:
+        from msa_tpu.models import bert
+        bert._BITS_DROPOUT = False
 
     from msa_tpu.configs import build_experiment
     from msa_tpu.data.dataset import MultimodalDataset

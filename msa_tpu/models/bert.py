@@ -143,6 +143,25 @@ def gelu(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
         x, approximate=(x.dtype == jnp.bfloat16 and not exact))
 
 
+# uint8-threshold dropout for the XLA-level sites (embed / joint-embed /
+# attn-out / MLP-down): jax.random.bits(uint8) packs FOUR keep decisions
+# per threefry u32 draw and skips the u32->f32 uniform conversion, the
+# same t/256 rate snap the Pallas kernels adopted in round 4
+# (ops/short_attention.quantize_dropout_rate).  The rescale uses the SAME
+# snapped rate, so the expectation stays exactly unbiased.  False
+# restores the f32-uniform bernoulli (bit-compatible with rounds 1-4).
+#
+# Gated by sequence length like the attention-kernel dispatch: the round-5
+# hardware A/B measured the bits path winning 2.1% at frame level
+# (S=1024: 720.1 vs 735.2 ms/step) but costing ~2 ms at the flagship
+# (S<=80: 351.25 vs 349.31 mean of two order-swapped pairs) — at short S
+# the sites are instruction/fusion-bound, not PRNG-volume-bound, exactly
+# like the round-4 Pallas 8-bit threshold finding.  GSPMD keeps traced
+# shapes global, so the gate is mesh-independent.
+_BITS_DROPOUT = True
+_BITS_DROPOUT_MIN_SEQ = 256
+
+
 def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
              deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0 or key is None:
@@ -150,6 +169,15 @@ def _dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float,
     from jax.ad_checkpoint import checkpoint_name
     # 'drop_mask' lets remat policies regenerate the PRNG draw in backward
     # instead of storing the mask (and the u32 bits feeding it) in HBM.
+    if (_BITS_DROPOUT and x.ndim >= 3
+            and x.shape[-2] >= _BITS_DROPOUT_MIN_SEQ):
+        from ..ops.short_attention import _DROP_QUANT
+        t = min(max(int(round(rate * _DROP_QUANT)), 1), _DROP_QUANT - 1)
+        keep = checkpoint_name(
+            jax.random.bits(key, x.shape, jnp.uint8) >= jnp.uint8(t),
+            "drop_mask")
+        return jnp.where(keep, x * (_DROP_QUANT / (_DROP_QUANT - t)),
+                         0.0).astype(x.dtype)
     keep = checkpoint_name(jax.random.bernoulli(key, 1.0 - rate, x.shape),
                            "drop_mask")
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)

@@ -114,12 +114,25 @@ def main():
         "attn16nudropnoscan": dict(remat_policy="save_attn+drop",
                                    adam_mu_dtype="bfloat16",
                                    adam_nu_dtype="bfloat16", scan_unroll=0),
+        # remat AND scan_unroll on full auto: validates the round-5
+        # frame-level calibrations pick the winning rung + noscan on the
+        # real chip (prints the resolved values below)
+        "auto16nunoscan": dict(remat_policy="auto",
+                               adam_mu_dtype="bfloat16",
+                               adam_nu_dtype="bfloat16", scan_unroll=None),
     }
+    # variants predate scan_unroll=None (auto); those not naming it were
+    # measured under the scan -- pin that so their numbers stay comparable
+    named = {k: {"scan_unroll": 1, **v} for k, v in named.items()}
 
     results = {}
     for vi, name in enumerate(variants):
         tr = Trainer(dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, **named[name])))
+        if named[name].get("remat_policy") == "auto":
+            print(f"{name}: auto resolved to "
+                  f"remat={tr._resolve_remat_policy()!r} "
+                  f"scan_unroll={tr._resolve_scan_unroll()}", flush=True)
         batch = tr._shard_batch(next(ds.epoch_batches(
             0, args.batch_size, drop_last=True)))
         state = tr.init_state(jax.random.key(0), total_steps=10_000)

@@ -202,8 +202,12 @@ class TrainConfig:
     # 0 = no scan at all: a Python loop over static layer indices, which
     # turns the per-layer remat residuals into independent buffers (no
     # scan-stash dynamic_slice/squeeze copies in the backward) at ~L x the
-    # compile time.
-    scan_unroll: int = 1
+    # compile time.  None = auto (round 5): 0 at frame level on the flash
+    # path -- the scan-stash copies it deletes scale with the stash, a
+    # measured win at every benched length (S=1024: 767.3 -> 755.1 ms,
+    # BENCH.md round 4/5) -- and 1 (scan) everywhere else, where noscan
+    # measured neutral-to-worse and compiles ~L x slower.
+    scan_unroll: Optional[int] = None
     # Megatron-style sequence parallelism (requires model_parallel > 1):
     # the residual stream is constrained to a sequence-sharded layout at
     # LayerNorm boundaries, so GSPMD turns the TP all-reduces into

@@ -128,16 +128,28 @@ class FitResult:
 # use 6/16 of HBM.  _DEFAULT_HBM is the fallback when the backend exposes no
 # memory stats (CPU meshes in tests).
 _REMAT_STASH_FRACTION = 6.0 / 16.0
+# Frame-level flash-path budget (round 5).  The 6/16 ratio is calibrated
+# at the flagship fit boundary (B=120 fits / B=128 OOMs), where the
+# non-stash transients scale with the large batch.  At frame level
+# (small B, long S on the flash2 path) the measured fits are far past
+# it: save_attn+drop ran on the 16 GB chip with an estimated stash of
+# 9.76 GB at S=2048/B=8 and 9.85 GB at S=1024/B=16 and S=4096/B=4
+# (BENCH.md round-5 frame-level table), and save_ctx+drop fit 7.3 GB at
+# S=2048/B=12.  10/16 admits every hardware-validated fit while staying
+# under the tightest measured ceiling; the actionable-OOM hint still
+# names the next rung if a config past the measured envelope OOMs.
+_REMAT_STASH_FRACTION_FRAME = 10.0 / 16.0
 _DEFAULT_HBM = 16e9
 
 
-def _remat_stash_budget(device) -> float:
+def _remat_stash_budget(device, frame_level: bool = False) -> float:
     """Remat-stash byte budget for this chip, derived from its real HBM.
 
     Reads ``device.memory_stats()['bytes_limit']`` so 'auto' picks the
     right rung on any HBM size (round-2 VERDICT item 8 flagged the
     previous bare 6e9 as v5e-only); falls back to the v5e figure when the
-    backend has no stats.
+    backend has no stats.  ``frame_level`` switches to the looser
+    frame-level/flash-path calibration (see _REMAT_STASH_FRACTION_FRAME).
     """
     hbm = _DEFAULT_HBM
     try:
@@ -146,7 +158,8 @@ def _remat_stash_budget(device) -> float:
             hbm = float(stats.get("bytes_limit", _DEFAULT_HBM)) or _DEFAULT_HBM
     except Exception:
         pass
-    return _REMAT_STASH_FRACTION * hbm
+    frac = _REMAT_STASH_FRACTION_FRAME if frame_level else _REMAT_STASH_FRACTION
+    return frac * hbm
 
 
 class Trainer:
@@ -234,6 +247,31 @@ class Trainer:
     # Steps
     # ------------------------------------------------------------------
 
+    def _frame_level_flash(self) -> bool:
+        """Frame-level mode running attention on the flash2 kernel path.
+
+        The round-5 frame-level calibrations (remat budget 10/16 of HBM,
+        scan_unroll auto -> 0) were measured on this path only; the gate
+        is deterministic under GSPMD because traced shapes are global.
+        """
+        from ..ops.attention import _FLASH_MIN_SEQ
+        l = self.config.data.max_seq_length
+        lp = self.config.data.pair_seq_length
+        return (lp is not None
+                and l + lp >= _FLASH_MIN_SEQ
+                and self.config.train.use_flash_attention != "never")
+
+    def _resolve_scan_unroll(self) -> int:
+        """None (auto) -> 0 (python-loop layers) at frame level on the
+        flash path, where deleting the scan-stash copies measured winning
+        at every benched length (S=1024: 767.3 -> 755.1 ms, BENCH.md),
+        else 1 (lax.scan) -- noscan measured neutral-to-worse at the
+        flagship and costs ~L x the compile time."""
+        unroll = self.config.train.scan_unroll
+        if unroll is not None:
+            return unroll
+        return 0 if self._frame_level_flash() else 1
+
     def _resolve_remat_policy(self) -> str:
         """'auto' -> save_attn when its stash fits HBM, else save_ctx, else
         full.
@@ -261,7 +299,16 @@ class Trainer:
         # bytes per saved [*, H] tensor across all layers, sharded over mesh
         unit = tokens * bert.hidden_size * 2 * bert.num_hidden_layers
         unit /= max(self.mesh.devices.size, 1)
-        budget = _remat_stash_budget(self.mesh.devices.flat[0])
+        # Frame-level runs on the flash2 path carry small-B transients, so
+        # the measured stash headroom is ~10/16 of HBM instead of the
+        # flagship-calibrated 6/16 -- this is what makes 'auto' resolve to
+        # the hardware-winning save_attn+drop rung at the benched
+        # S=1024/2048/4096 configs (BENCH.md round 5) instead of telling
+        # users to set the rung explicitly.  XLA-fallback attention
+        # (use_flash='never') keeps the conservative budget: its backward
+        # stash composition was never calibrated at frame level.
+        budget = _remat_stash_budget(self.mesh.devices.flat[0],
+                                     self._frame_level_flash())
         # '+drop' also stashes the two bool hidden-dropout masks/layer
         # (tokens x H x 1 byte x 2 = exactly one more bf16-tensor unit):
         # the backward then reads them instead of re-running the PRNG.
@@ -289,6 +336,7 @@ class Trainer:
         use_flash = tc.use_flash_attention
         on_tpu = self.on_tpu
         remat_policy = self._resolve_remat_policy()
+        scan_unroll = self._resolve_scan_unroll()
         mesh = self.mesh
         seq_par = tc.sequence_parallel
         inject_masks = self.mlm_mask_injector is not None
@@ -321,7 +369,7 @@ class Trainer:
                     on_tpu=on_tpu,
                     remat=tc.remat, mlm_scores=False,
                     fuse_text_pass=tc.fuse_text_pass,
-                    unroll=tc.scan_unroll,
+                    unroll=scan_unroll,
                     remat_policy=remat_policy,
                     mesh=mesh, sequence_parallel=seq_par,
                 )
@@ -382,7 +430,9 @@ class Trainer:
                 deterministic=True, compute_dtype=compute_dtype,
                 use_flash=use_flash, on_tpu=on_tpu, mlm_scores=False,
                 fuse_text_pass=tc.fuse_text_pass,
-                unroll=tc.scan_unroll,
+                # eval is forward-only: noscan's win is backward scan-stash
+                # copies, so auto (None) stays on the scan here
+                unroll=1 if tc.scan_unroll is None else tc.scan_unroll,
                 mesh=self.mesh, sequence_parallel=tc.sequence_parallel,
             )
             losses = mmbert_loss(
